@@ -1,0 +1,222 @@
+"""Typed configuration for EfficientDet-TPU.
+
+Replaces the reference's hardcoded per-phi tuples in ``model.py`` and the
+argparse-only flag system of ``train.py`` (see SURVEY.md SS2 "Training CLI",
+SS5 "Config / flag system"; reference structure per SURVEY.md — the reference
+mount was empty, so citations are to the survey's component inventory).
+
+Everything is a frozen dataclass so configs hash and can be closed over by
+``jax.jit`` as static arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+
+# ---------------------------------------------------------------------------
+# EfficientNet compound-scaling coefficients (paper arXiv 1905.11946 Table 1;
+# SURVEY.md SS2 "EfficientNet backbone").
+# name -> (width_coefficient, depth_coefficient, dropout_rate)
+# ---------------------------------------------------------------------------
+EFFICIENTNET_PARAMS = {
+    "efficientnet-b0": (1.0, 1.0, 0.2),
+    "efficientnet-b1": (1.0, 1.1, 0.2),
+    "efficientnet-b2": (1.1, 1.2, 0.3),
+    "efficientnet-b3": (1.2, 1.4, 0.3),
+    "efficientnet-b4": (1.4, 1.8, 0.4),
+    "efficientnet-b5": (1.6, 2.2, 0.4),
+    "efficientnet-b6": (1.8, 2.6, 0.5),
+    "efficientnet-b7": (2.0, 3.1, 0.5),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockConfig:
+    """One EfficientNet MBConv stage (SURVEY.md SS2 B0 stage table)."""
+
+    kernel_size: int
+    num_repeat: int
+    input_filters: int
+    output_filters: int
+    expand_ratio: int
+    strides: int
+    se_ratio: float = 0.25
+
+
+# EfficientNet-B0 baseline stage table (SURVEY.md SS2; arXiv 1905.11946).
+EFFICIENTNET_B0_BLOCKS: Tuple[BlockConfig, ...] = (
+    BlockConfig(3, 1, 32, 16, 1, 1),
+    BlockConfig(3, 2, 16, 24, 6, 2),
+    BlockConfig(5, 2, 24, 40, 6, 2),   # <- C3 tap after this stage (stride 8)
+    BlockConfig(3, 3, 40, 80, 6, 2),
+    BlockConfig(5, 3, 80, 112, 6, 1),  # <- C4 tap (stride 16)
+    BlockConfig(5, 4, 112, 192, 6, 2),
+    BlockConfig(3, 1, 192, 320, 6, 1),  # <- C5 tap (stride 32)
+)
+
+
+def round_filters(filters: int, width_coefficient: float, divisor: int = 8) -> int:
+    """Round number of filters after width scaling (paper SS5.2 convention)."""
+    filters *= width_coefficient
+    new_filters = max(divisor, int(filters + divisor / 2) // divisor * divisor)
+    if new_filters < 0.9 * filters:  # avoid rounding down by >10%
+        new_filters += divisor
+    return int(new_filters)
+
+
+def round_repeats(repeats: int, depth_coefficient: float) -> int:
+    """Round number of block repeats after depth scaling."""
+    return int(math.ceil(depth_coefficient * repeats))
+
+
+@dataclasses.dataclass(frozen=True)
+class AnchorConfig:
+    """Anchor layout (SURVEY.md SS2 "Anchors": ``AnchorParameters.default``).
+
+    ``sizes`` are derived as ``anchor_scale * stride`` which reproduces the
+    reference defaults [32, 64, 128, 256, 512] at anchor_scale=4.
+    """
+
+    strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
+    ratios: Tuple[float, ...] = (1.0, 0.5, 2.0)
+    scales: Tuple[float, ...] = (2 ** 0.0, 2 ** (1.0 / 3.0), 2 ** (2.0 / 3.0))
+    anchor_scale: float = 4.0
+
+    @property
+    def sizes(self) -> Tuple[float, ...]:
+        return tuple(self.anchor_scale * s for s in self.strides)
+
+    @property
+    def num_anchors_per_cell(self) -> int:
+        return len(self.ratios) * len(self.scales)
+
+
+# Per-phi detector scaling (SURVEY.md SS2 per-phi table; paper Table 1).
+# phi -> (image_size, backbone, bifpn_width, bifpn_depth, head_depth,
+#         anchor_scale)
+_PHI_CONFIGS = {
+    0: (512, "efficientnet-b0", 64, 3, 3, 4.0),
+    1: (640, "efficientnet-b1", 88, 4, 3, 4.0),
+    2: (768, "efficientnet-b2", 112, 5, 3, 4.0),
+    3: (896, "efficientnet-b3", 160, 6, 4, 4.0),
+    4: (1024, "efficientnet-b4", 224, 7, 4, 4.0),
+    5: (1280, "efficientnet-b5", 288, 7, 4, 4.0),
+    6: (1280, "efficientnet-b6", 384, 8, 5, 4.0),
+    7: (1536, "efficientnet-b6", 384, 8, 5, 5.0),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Full detector configuration for one phi (D0..D7)."""
+
+    phi: int
+    image_size: int
+    backbone: str
+    bifpn_width: int
+    bifpn_depth: int
+    head_depth: int
+    num_classes: int = 90
+    weighted_bifpn: bool = True
+    freeze_bn: bool = False
+    min_level: int = 3
+    max_level: int = 7
+    anchor: AnchorConfig = AnchorConfig()
+    # Backbone regularisation.
+    survival_prob: float = 0.8  # drop-connect keep prob at the deepest block
+    # Numerics.
+    bn_momentum: float = 0.99
+    bn_epsilon: float = 1e-3
+
+    @classmethod
+    def for_phi(
+        cls,
+        phi: int,
+        num_classes: int = 90,
+        weighted_bifpn: bool = True,
+        freeze_bn: bool = False,
+        image_size: int | None = None,
+    ) -> "ModelConfig":
+        if phi not in _PHI_CONFIGS:
+            raise ValueError(f"phi must be in 0..7, got {phi}")
+        size, backbone, w, d, hd, anchor_scale = _PHI_CONFIGS[phi]
+        if image_size is not None:
+            size = image_size
+        if size % 128 != 0:
+            raise ValueError(
+                f"image_size must be divisible by 128 (stride of P7), got {size}"
+            )
+        return cls(
+            phi=phi,
+            image_size=size,
+            backbone=backbone,
+            bifpn_width=w,
+            bifpn_depth=d,
+            head_depth=hd,
+            num_classes=num_classes,
+            weighted_bifpn=weighted_bifpn,
+            freeze_bn=freeze_bn,
+            anchor=AnchorConfig(anchor_scale=anchor_scale),
+        )
+
+    @property
+    def num_levels(self) -> int:
+        return self.max_level - self.min_level + 1
+
+    @property
+    def num_anchors_per_cell(self) -> int:
+        return self.anchor.num_anchors_per_cell
+
+    def feature_shapes(self, image_size: int | None = None):
+        """(H, W) of P3..P7 for a square input."""
+        size = image_size or self.image_size
+        return [
+            (size // (2 ** lvl), size // (2 ** lvl))
+            for lvl in range(self.min_level, self.max_level + 1)
+        ]
+
+    def total_anchors(self, image_size: int | None = None) -> int:
+        return sum(
+            h * w * self.num_anchors_per_cell
+            for h, w in self.feature_shapes(image_size)
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training hyperparameters (SURVEY.md SS2 "Training CLI" defaults)."""
+
+    batch_size: int = 8
+    learning_rate: float = 1e-3
+    epochs: int = 50
+    steps_per_epoch: int = 10000
+    # Loss (SURVEY.md SS2 "Losses").
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    huber_sigma: float = 3.0
+    # Anchor matching (SURVEY.md SS2 "Anchors").
+    positive_iou: float = 0.5
+    negative_iou: float = 0.4
+    max_gt_boxes: int = 100
+    # Optimisation extras (new-build additions, off by default for parity).
+    weight_decay: float = 0.0
+    grad_clip_norm: float = 0.0
+    ema_decay: float = 0.0
+    freeze_backbone: bool = False
+    # lr schedule: 'constant' mirrors reference Adam(1e-3) + ReduceLROnPlateau
+    # (plateau logic lives in the host loop); 'cosine' is the TPU-native path.
+    lr_schedule: str = "constant"
+    warmup_steps: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    """Detection filtering (SURVEY.md SS2 "Custom layers": FilterDetections)."""
+
+    score_threshold: float = 0.01
+    nms_iou_threshold: float = 0.5
+    max_detections: int = 100
+    pre_nms_top_k: int = 1000

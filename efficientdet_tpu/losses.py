@@ -1,0 +1,100 @@
+"""Detection losses: focal classification + smooth-L1 box regression.
+
+Pure-function rebuild of the reference's ``losses.py`` (SURVEY.md SS2
+"Losses"): ``focal(alpha=0.25, gamma=2.0)`` on sigmoid logits normalised by
+the positive-anchor count, and ``smooth_l1(sigma=3.0)`` over positive anchors
+only. The reference smuggled the anchor state through an extra target
+channel; here it is an explicit ``anchor_state`` tensor in {-1, 0, 1}.
+
+Everything is jit/grad-compatible and batched: inputs carry a leading batch
+dimension and the normaliser is computed per image then averaged, matching
+the reference's per-image Keras loss reduction.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def focal_loss(
+    cls_logits: jax.Array,
+    cls_targets: jax.Array,
+    anchor_state: jax.Array,
+    alpha: float = 0.25,
+    gamma: float = 2.0,
+) -> jax.Array:
+    """Sigmoid focal loss, normalised by #positive anchors per image.
+
+    Args:
+      cls_logits: (B, A, C) raw logits.
+      cls_targets: (B, A, C) one-hot targets (zeros for negatives).
+      anchor_state: (B, A) in {-1 ignore, 0 negative, 1 positive}.
+    Returns scalar loss.
+    """
+    cls_logits = cls_logits.astype(jnp.float32)
+    p = jax.nn.sigmoid(cls_logits)
+    t = cls_targets.astype(jnp.float32)
+
+    alpha_factor = jnp.where(t == 1.0, alpha, 1.0 - alpha)
+    focal_weight = jnp.where(t == 1.0, 1.0 - p, p) ** gamma
+    # Numerically-stable BCE from logits.
+    bce = jnp.maximum(cls_logits, 0.0) - cls_logits * t + jnp.log1p(
+        jnp.exp(-jnp.abs(cls_logits))
+    )
+    loss = alpha_factor * focal_weight * bce  # (B, A, C)
+
+    include = (anchor_state != -1.0).astype(jnp.float32)  # ignore state -1
+    loss = loss * include[..., None]
+
+    num_pos = jnp.sum((anchor_state == 1.0).astype(jnp.float32), axis=1)  # (B,)
+    normalizer = jnp.maximum(num_pos, 1.0)
+    per_image = jnp.sum(loss, axis=(1, 2)) / normalizer
+    return jnp.mean(per_image)
+
+
+def smooth_l1_loss(
+    box_preds: jax.Array,
+    box_targets: jax.Array,
+    anchor_state: jax.Array,
+    sigma: float = 3.0,
+) -> jax.Array:
+    """Smooth-L1 (Huber) regression loss over positive anchors only.
+
+    Args:
+      box_preds: (B, A, 4) predicted encoded deltas.
+      box_targets: (B, A, 4) encoded targets.
+      anchor_state: (B, A).
+    Returns scalar loss.
+    """
+    box_preds = box_preds.astype(jnp.float32)
+    sigma_sq = sigma ** 2
+    diff = jnp.abs(box_preds - box_targets.astype(jnp.float32))
+    loss = jnp.where(
+        diff < 1.0 / sigma_sq,
+        0.5 * sigma_sq * diff ** 2,
+        diff - 0.5 / sigma_sq,
+    )  # (B, A, 4)
+
+    positive = (anchor_state == 1.0).astype(jnp.float32)
+    loss = loss * positive[..., None]
+    num_pos = jnp.sum(positive, axis=1)
+    normalizer = jnp.maximum(num_pos, 1.0)
+    per_image = jnp.sum(loss, axis=(1, 2)) / normalizer
+    return jnp.mean(per_image)
+
+
+def detection_loss(
+    cls_logits: jax.Array,
+    box_preds: jax.Array,
+    cls_targets: jax.Array,
+    box_targets: jax.Array,
+    anchor_state: jax.Array,
+    alpha: float = 0.25,
+    gamma: float = 2.0,
+    sigma: float = 3.0,
+):
+    """Total = focal + smooth-L1 (unit weights, as the reference compiles)."""
+    cls_loss = focal_loss(cls_logits, cls_targets, anchor_state, alpha, gamma)
+    box_loss = smooth_l1_loss(box_preds, box_targets, anchor_state, sigma)
+    return cls_loss + box_loss, {"cls_loss": cls_loss, "box_loss": box_loss}

@@ -1,0 +1,169 @@
+"""EfficientDet assembly and the D0..D7 builder API.
+
+Rebuild of the reference's ``efficientdet()`` in ``model.py`` (SURVEY.md SS2
+"BiFPN + detector assembly", SS3.5). The reference returns a
+``(train_model, prediction_model)`` pair sharing weights; the TPU-native
+equivalent is ONE Flax module with two jit-compiled entry points over the
+same params:
+
+* ``EfficientDet.__call__``  -> raw (class logits, box deltas) per anchor
+  (the training model's outputs), and
+* :func:`make_predict_fn` / :class:`Detector` -> the prediction pipeline
+  appending sigmoid + decode + clip + per-class NMS fully on-device
+  (reference RegressBoxes/ClipBoxes/FilterDetections).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from efficientdet_tpu.anchors import anchors_for_shape, clip_boxes, decode_boxes
+from efficientdet_tpu.configs import EvalConfig, ModelConfig
+from efficientdet_tpu.models.bifpn import BiFPN
+from efficientdet_tpu.models.efficientnet import EfficientNet
+from efficientdet_tpu.models.heads import BoxNet, ClassNet
+from efficientdet_tpu.ops.nms import batched_filter_detections
+from efficientdet_tpu.ops.preprocess import preprocess_batch_fixed
+
+Dtype = Any
+
+
+class EfficientDet(nn.Module):
+    """Backbone -> BiFPN -> shared heads. Output: raw per-anchor tensors."""
+
+    config: ModelConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, images: jax.Array, train: bool = False
+    ) -> Tuple[jax.Array, jax.Array]:
+        """images (B, S, S, 3) normalised -> (cls_logits (B,A,C), box (B,A,4))."""
+        cfg = self.config
+        # freeze_bn: BN always uses running stats (reference freeze_bn flag).
+        ura = (not train) or cfg.freeze_bn
+        c3, c4, c5 = EfficientNet(
+            model_name=cfg.backbone,
+            survival_prob=cfg.survival_prob,
+            bn_momentum=cfg.bn_momentum,
+            bn_epsilon=cfg.bn_epsilon,
+            dtype=self.dtype,
+            name="backbone",
+        )(images, train=train, use_running_average=ura)
+        feats = BiFPN(
+            features=cfg.bifpn_width,
+            depth=cfg.bifpn_depth,
+            weighted=cfg.weighted_bifpn,
+            bn_momentum=cfg.bn_momentum,
+            bn_epsilon=cfg.bn_epsilon,
+            dtype=self.dtype,
+            name="bifpn",
+        )(
+            [c3, c4, c5], use_running_average=ura
+        )
+        cls_logits = ClassNet(
+            width=cfg.bifpn_width,
+            depth=cfg.head_depth,
+            num_classes=cfg.num_classes,
+            num_anchors=cfg.num_anchors_per_cell,
+            bn_momentum=cfg.bn_momentum,
+            bn_epsilon=cfg.bn_epsilon,
+            dtype=self.dtype,
+            name="class_net",
+        )(feats, use_running_average=ura)
+        box_deltas = BoxNet(
+            width=cfg.bifpn_width,
+            depth=cfg.head_depth,
+            num_anchors=cfg.num_anchors_per_cell,
+            bn_momentum=cfg.bn_momentum,
+            bn_epsilon=cfg.bn_epsilon,
+            dtype=self.dtype,
+            name="box_net",
+        )(feats, use_running_average=ura)
+        return cls_logits, box_deltas
+
+
+def build_efficientdet(
+    phi: int,
+    num_classes: int = 90,
+    weighted_bifpn: bool = True,
+    freeze_bn: bool = False,
+    dtype: Dtype = jnp.float32,
+    image_size: int | None = None,
+) -> Tuple[EfficientDet, ModelConfig]:
+    """The reference's ``efficientdet(phi, ...)`` builder."""
+    config = ModelConfig.for_phi(
+        phi,
+        num_classes=num_classes,
+        weighted_bifpn=weighted_bifpn,
+        freeze_bn=freeze_bn,
+        image_size=image_size,
+    )
+    return EfficientDet(config=config, dtype=dtype), config
+
+
+# Named builders mirroring the reference's D0..D7 surface.
+def _named_builder(phi):
+    def build(num_classes: int = 90, **kw):
+        return build_efficientdet(phi, num_classes=num_classes, **kw)
+
+    build.__name__ = f"efficientdet_d{phi}"
+    build.__doc__ = f"Build EfficientDet-D{phi} (see build_efficientdet)."
+    return build
+
+
+efficientdet_d0 = _named_builder(0)
+efficientdet_d1 = _named_builder(1)
+efficientdet_d2 = _named_builder(2)
+efficientdet_d3 = _named_builder(3)
+efficientdet_d4 = _named_builder(4)
+efficientdet_d5 = _named_builder(5)
+efficientdet_d6 = _named_builder(6)
+efficientdet_d7 = _named_builder(7)
+
+
+def predict_pipeline(
+    model: EfficientDet,
+    variables,
+    images: jax.Array,
+    eval_config: EvalConfig = EvalConfig(),
+    preprocess: bool = True,
+):
+    """Full on-device prediction: [normalise ->] forward -> decode -> NMS.
+
+    Args:
+      images: (B, S, S, 3); raw RGB [0,255] if ``preprocess`` else already
+        normalised.
+    Returns (boxes (B,D,4), scores (B,D), classes (B,D), num_valid (B,)).
+    """
+    cfg = model.config
+    size = images.shape[1]
+    if preprocess:
+        images = preprocess_batch_fixed(images, dtype=model.dtype)
+    cls_logits, box_deltas = model.apply(variables, images, train=False)
+    anchors = jnp.asarray(anchors_for_shape((size, size), cfg.anchor))
+    boxes = decode_boxes(box_deltas, anchors[None])
+    boxes = clip_boxes(boxes, (size, size))
+    scores = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
+    return batched_filter_detections(boxes, scores, eval_config)
+
+
+def make_predict_fn(
+    model: EfficientDet,
+    eval_config: EvalConfig = EvalConfig(),
+    preprocess: bool = True,
+):
+    """Return a jitted ``(variables, images) -> detections`` function."""
+
+    @jax.jit
+    def predict(variables, images):
+        return predict_pipeline(
+            model, variables, images, eval_config, preprocess=preprocess
+        )
+
+    return predict

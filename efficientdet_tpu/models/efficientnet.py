@@ -1,0 +1,206 @@
+"""EfficientNet-B0..B7 backbone in Flax (NHWC, TPU-native).
+
+Rebuild of the reference's ``efficientnet.py`` (SURVEY.md SS2 "EfficientNet
+backbone"): stem 3x3/s2 conv; 7 MBConv stages with compound
+``round_filters``/``round_repeats`` scaling; squeeze-excite ratio 0.25; swish
+activation; per-block stochastic depth (drop-connect); feature taps C3
+(stride 8), C4 (stride 16), C5 (stride 32).
+
+TPU-first choices: NHWC layout throughout (XLA's preferred conv layout on
+TPU); BatchNorm in float32 regardless of compute dtype; depthwise convs via
+``feature_group_count`` which XLA lowers to efficient TPU depthwise
+convolutions. The classification head of the original network is omitted —
+the detector only consumes C3..C5 (the reference likewise discards it).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from efficientdet_tpu.configs import (
+    EFFICIENTNET_B0_BLOCKS,
+    EFFICIENTNET_PARAMS,
+    BlockConfig,
+    round_filters,
+    round_repeats,
+)
+
+Dtype = Any
+
+# Keras/TF-style variance-scaling init used by the original EfficientNet.
+conv_kernel_init = nn.initializers.variance_scaling(
+    2.0, mode="fan_out", distribution="truncated_normal"
+)
+
+
+class SqueezeExcite(nn.Module):
+    """SE block: global-avg-pool -> reduce 1x1 -> swish -> expand 1x1 -> sigmoid."""
+
+    num_reduced: int
+    num_filters: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        se = jnp.mean(x, axis=(1, 2), keepdims=True)  # (B,1,1,C)
+        se = nn.Conv(
+            self.num_reduced, (1, 1), kernel_init=conv_kernel_init,
+            dtype=self.dtype, name="reduce",
+        )(se)
+        se = nn.swish(se)
+        se = nn.Conv(
+            self.num_filters, (1, 1), kernel_init=conv_kernel_init,
+            dtype=self.dtype, name="expand",
+        )(se)
+        return x * jax.nn.sigmoid(se)
+
+
+class MBConvBlock(nn.Module):
+    """Mobile inverted bottleneck: expand 1x1 -> depthwise kxk -> SE -> project 1x1."""
+
+    config: BlockConfig
+    input_filters: int
+    output_filters: int
+    strides: int
+    survival_prob: float  # stochastic-depth keep probability (1.0 = off)
+    bn_momentum: float = 0.99
+    bn_epsilon: float = 1e-3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False, use_running_average: bool = True) -> jax.Array:
+        cfg = self.config
+        inputs = x
+        filters = self.input_filters * cfg.expand_ratio
+
+        def bn(name):
+            return nn.BatchNorm(
+                use_running_average=use_running_average,
+                momentum=self.bn_momentum,
+                epsilon=self.bn_epsilon,
+                dtype=jnp.float32,
+                name=name,
+            )
+
+        if cfg.expand_ratio != 1:
+            x = nn.Conv(
+                filters, (1, 1), use_bias=False, kernel_init=conv_kernel_init,
+                dtype=self.dtype, name="expand_conv",
+            )(x)
+            x = bn("expand_bn")(x).astype(self.dtype)
+            x = nn.swish(x)
+
+        # Depthwise conv: feature_group_count == channels.
+        x = nn.Conv(
+            filters,
+            (cfg.kernel_size, cfg.kernel_size),
+            strides=(self.strides, self.strides),
+            padding="SAME",
+            feature_group_count=filters,
+            use_bias=False,
+            kernel_init=conv_kernel_init,
+            dtype=self.dtype,
+            name="depthwise_conv",
+        )(x)
+        x = bn("depthwise_bn")(x).astype(self.dtype)
+        x = nn.swish(x)
+
+        if 0 < cfg.se_ratio <= 1:
+            num_reduced = max(1, int(self.input_filters * cfg.se_ratio))
+            x = SqueezeExcite(
+                num_reduced, filters, dtype=self.dtype, name="se"
+            )(x)
+
+        x = nn.Conv(
+            self.output_filters, (1, 1), use_bias=False,
+            kernel_init=conv_kernel_init, dtype=self.dtype, name="project_conv",
+        )(x)
+        x = bn("project_bn")(x).astype(self.dtype)
+
+        if self.strides == 1 and self.input_filters == self.output_filters:
+            if train and self.survival_prob < 1.0:
+                # Per-sample stochastic depth (reference drop-connect 0.2).
+                rng = self.make_rng("dropout")
+                keep = jax.random.bernoulli(
+                    rng, self.survival_prob, (x.shape[0], 1, 1, 1)
+                ).astype(x.dtype)
+                x = x * keep / self.survival_prob
+            x = x + inputs
+        return x
+
+
+class EfficientNet(nn.Module):
+    """Backbone returning (C3, C4, C5) feature taps.
+
+    ``model_name`` in 'efficientnet-b0'..'-b7' selects compound scaling.
+    """
+
+    model_name: str = "efficientnet-b0"
+    survival_prob: float = 0.8
+    bn_momentum: float = 0.99
+    bn_epsilon: float = 1e-3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, images: jax.Array, train: bool = False, use_running_average: bool | None = None
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        if use_running_average is None:
+            use_running_average = not train
+        width, depth, _ = EFFICIENTNET_PARAMS[self.model_name]
+
+        def bn(name):
+            return nn.BatchNorm(
+                use_running_average=use_running_average,
+                momentum=self.bn_momentum,
+                epsilon=self.bn_epsilon,
+                dtype=jnp.float32,
+                name=name,
+            )
+
+        x = images.astype(self.dtype)
+        x = nn.Conv(
+            round_filters(32, width), (3, 3), strides=(2, 2), padding="SAME",
+            use_bias=False, kernel_init=conv_kernel_init, dtype=self.dtype,
+            name="stem_conv",
+        )(x)
+        x = bn("stem_bn")(x).astype(self.dtype)
+        x = nn.swish(x)
+
+        total_blocks = sum(
+            round_repeats(b.num_repeat, depth) for b in EFFICIENTNET_B0_BLOCKS
+        )
+        drop_rate = 1.0 - self.survival_prob
+        taps = {}
+        block_idx = 0
+        for stage_idx, block_cfg in enumerate(EFFICIENTNET_B0_BLOCKS):
+            in_f = round_filters(block_cfg.input_filters, width)
+            out_f = round_filters(block_cfg.output_filters, width)
+            repeats = round_repeats(block_cfg.num_repeat, depth)
+            for r in range(repeats):
+                # Linearly-scaled stochastic depth over block index.
+                survival = 1.0 - drop_rate * block_idx / total_blocks
+                x = MBConvBlock(
+                    config=block_cfg,
+                    input_filters=in_f if r == 0 else out_f,
+                    output_filters=out_f,
+                    strides=block_cfg.strides if r == 0 else 1,
+                    survival_prob=survival,
+                    bn_momentum=self.bn_momentum,
+                    bn_epsilon=self.bn_epsilon,
+                    dtype=self.dtype,
+                    name=f"stage{stage_idx + 1}_block{r}",
+                )(x, train=train, use_running_average=use_running_average)
+                block_idx += 1
+            # Taps after stages 3 (stride 8), 5 (stride 16), 7 (stride 32).
+            if stage_idx == 2:
+                taps["C3"] = x
+            elif stage_idx == 4:
+                taps["C4"] = x
+            elif stage_idx == 6:
+                taps["C5"] = x
+        return taps["C3"], taps["C4"], taps["C5"]

@@ -1,0 +1,144 @@
+"""Shared class/box prediction heads (reference ``ClassNet``/``BoxNet``).
+
+Per SURVEY.md SS2 "Class/Box heads": depth-``d`` stacks of SeparableConv 3x3
+(width = BiFPN width) whose *conv weights are shared across P3..P7* but with
+*per-level BatchNorm*, swish activations, and a final SeparableConv producing
+``num_anchors * num_classes`` logits (bias initialised to the prior
+probability pi=0.01, reference ``initializers.py``) or ``num_anchors * 4``
+box deltas.
+
+Weight sharing is expressed by constructing each conv module once and calling
+it on every level — Flax reuses the parameters; the per-level BNs are
+distinct submodules indexed (level, layer). This is the classic
+silent-accuracy-killer flagged as SURVEY.md SS7 hard part #4, so the BN
+wiring is unit-tested (tests/test_models.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, List, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from efficientdet_tpu.models.bifpn import SeparableConv
+
+Dtype = Any
+
+
+def prior_prob_bias(prior: float = 0.01):
+    """Reference PriorProbability initializer: bias = -log((1-pi)/pi)."""
+    value = -math.log((1.0 - prior) / prior)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jnp.full(shape, value, dtype)
+
+    return init
+
+
+class _Head(nn.Module):
+    """Common structure for ClassNet/BoxNet."""
+
+    width: int
+    depth: int
+    num_outputs: int  # per-anchor outputs of the final conv
+    num_anchors: int
+    final_bias_init: Any
+    bn_momentum: float = 0.99
+    bn_epsilon: float = 1e-3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, feats: Sequence[jax.Array], use_running_average: bool = True
+    ) -> jax.Array:
+        # Convs constructed once => weights shared across pyramid levels.
+        convs = [
+            SeparableConv(self.width, dtype=self.dtype, name=f"conv{i}")
+            for i in range(self.depth)
+        ]
+        final = SeparableConv(
+            self.num_outputs * self.num_anchors, dtype=self.dtype, name="final"
+        )
+        # The prior-probability bias init is realised as a constant logit
+        # shift added after the final conv (bias starts at zero): identical
+        # function and gradients to initialising the bias itself.
+        outputs = []
+        for lvl, x in enumerate(feats):
+            for i in range(self.depth):
+                x = convs[i](x)
+                x = nn.BatchNorm(
+                    use_running_average=use_running_average,
+                    momentum=self.bn_momentum,
+                    epsilon=self.bn_epsilon,
+                    dtype=jnp.float32,
+                    name=f"bn_l{lvl}_d{i}",
+                )(x).astype(self.dtype)
+                x = nn.swish(x)
+            x = final(x)
+            b, h, w, _ = x.shape
+            outputs.append(x.reshape(b, h * w * self.num_anchors, self.num_outputs))
+        out = jnp.concatenate(outputs, axis=1)  # (B, A_total, num_outputs)
+        if self.final_bias_init is not None:
+            # Constant logit shift equivalent to PriorProbability bias init.
+            out = out + jnp.asarray(self.final_bias_init, out.dtype)
+        return out
+
+
+class ClassNet(nn.Module):
+    """Classification head -> (B, A, num_classes) logits."""
+
+    width: int
+    depth: int
+    num_classes: int
+    num_anchors: int = 9
+    prior: float = 0.01
+    bn_momentum: float = 0.99
+    bn_epsilon: float = 1e-3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, feats: Sequence[jax.Array], use_running_average: bool = True
+    ) -> jax.Array:
+        shift = -math.log((1.0 - self.prior) / self.prior)
+        return _Head(
+            width=self.width,
+            depth=self.depth,
+            num_outputs=self.num_classes,
+            num_anchors=self.num_anchors,
+            final_bias_init=shift,
+            bn_momentum=self.bn_momentum,
+            bn_epsilon=self.bn_epsilon,
+            dtype=self.dtype,
+            name="net",
+        )(feats, use_running_average)
+
+
+class BoxNet(nn.Module):
+    """Box regression head -> (B, A, 4) encoded deltas."""
+
+    width: int
+    depth: int
+    num_anchors: int = 9
+    bn_momentum: float = 0.99
+    bn_epsilon: float = 1e-3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, feats: Sequence[jax.Array], use_running_average: bool = True
+    ) -> jax.Array:
+        return _Head(
+            width=self.width,
+            depth=self.depth,
+            num_outputs=4,
+            num_anchors=self.num_anchors,
+            final_bias_init=None,
+            bn_momentum=self.bn_momentum,
+            bn_epsilon=self.bn_epsilon,
+            dtype=self.dtype,
+            name="net",
+        )(feats, use_running_average)

@@ -1,0 +1,98 @@
+"""Hand-computed value tests for focal and smooth-L1 losses (SURVEY.md SS4)."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from efficientdet_tpu.losses import detection_loss, focal_loss, smooth_l1_loss
+
+
+def sigmoid(x):
+    return 1.0 / (1.0 + math.exp(-x))
+
+
+class TestFocal:
+    def test_single_positive_hand_value(self):
+        logit = 0.7
+        p = sigmoid(logit)
+        # target 1: loss = alpha * (1-p)^gamma * -log(p)
+        want = 0.25 * (1 - p) ** 2 * -math.log(p)
+        logits = jnp.full((1, 1, 1), logit)
+        targets = jnp.ones((1, 1, 1))
+        state = jnp.ones((1, 1))
+        got = float(focal_loss(logits, targets, state))
+        assert abs(got - want) < 1e-5
+
+    def test_single_negative_hand_value(self):
+        logit = -1.3
+        p = sigmoid(logit)
+        # target 0: loss = (1-alpha) * p^gamma * -log(1-p); normaliser 1 (no pos)
+        want = 0.75 * p ** 2 * -math.log(1 - p)
+        logits = jnp.full((1, 1, 1), logit)
+        targets = jnp.zeros((1, 1, 1))
+        state = jnp.zeros((1, 1))
+        got = float(focal_loss(logits, targets, state))
+        assert abs(got - want) < 1e-5
+
+    def test_ignored_anchor_contributes_nothing(self):
+        logits = jnp.asarray([[[5.0], [5.0]]])
+        targets = jnp.zeros((1, 2, 1))
+        state_all = jnp.asarray([[0.0, 0.0]])
+        state_ignored = jnp.asarray([[0.0, -1.0]])
+        full = float(focal_loss(logits, targets, state_all))
+        half = float(focal_loss(logits, targets, state_ignored))
+        assert abs(full - 2 * half) < 1e-6
+
+    def test_normalized_by_num_positives(self):
+        # 2 positives, identical anchors -> same per-anchor loss as 1 positive.
+        logits = jnp.full((1, 2, 1), 0.3)
+        targets = jnp.ones((1, 2, 1))
+        state = jnp.ones((1, 2))
+        two = float(focal_loss(logits, targets, state))
+        one = float(
+            focal_loss(logits[:, :1], targets[:, :1], state[:, :1])
+        )
+        assert abs(two - one) < 1e-6
+
+
+class TestSmoothL1:
+    def test_quadratic_region(self):
+        sigma = 3.0
+        d = 0.05  # < 1/sigma^2 = 0.111
+        want = 0.5 * sigma ** 2 * d ** 2 * 4  # 4 coords, 1 positive anchor
+        preds = jnp.full((1, 1, 4), d)
+        targets = jnp.zeros((1, 1, 4))
+        state = jnp.ones((1, 1))
+        got = float(smooth_l1_loss(preds, targets, state, sigma=sigma))
+        assert abs(got - want) < 1e-5
+
+    def test_linear_region(self):
+        sigma = 3.0
+        d = 2.0
+        want = (d - 0.5 / sigma ** 2) * 4
+        preds = jnp.full((1, 1, 4), d)
+        targets = jnp.zeros((1, 1, 4))
+        state = jnp.ones((1, 1))
+        got = float(smooth_l1_loss(preds, targets, state, sigma=sigma))
+        assert abs(got - want) < 1e-5
+
+    def test_only_positive_anchors_count(self):
+        preds = jnp.ones((1, 2, 4)) * 5.0
+        targets = jnp.zeros((1, 2, 4))
+        state = jnp.asarray([[1.0, 0.0]])  # second anchor negative
+        got = float(smooth_l1_loss(preds, targets, state))
+        state2 = jnp.asarray([[1.0, -1.0]])  # or ignored
+        got2 = float(smooth_l1_loss(preds, targets, state2))
+        assert abs(got - got2) < 1e-6
+
+
+def test_detection_loss_composes():
+    logits = jnp.zeros((2, 3, 4))
+    box = jnp.zeros((2, 3, 4))
+    cls_t = jnp.zeros((2, 3, 4))
+    box_t = jnp.zeros((2, 3, 4))
+    state = jnp.zeros((2, 3))
+    total, aux = detection_loss(logits, box, cls_t, box_t, state)
+    assert float(total) == float(aux["cls_loss"]) + float(aux["box_loss"])
+    assert np.isfinite(float(total))

@@ -1,0 +1,107 @@
+"""Tests for the on-device per-class NMS (SURVEY.md SS7 hard part #1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from efficientdet_tpu.configs import EvalConfig
+from efficientdet_tpu.ops.nms import batched_filter_detections, filter_detections
+
+
+def reference_nms(boxes, scores, score_thr=0.01, iou_thr=0.5, max_det=100):
+    """Numpy oracle: per-class sequential NMS then global top-k by score."""
+
+    def iou(a, b):
+        ix = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
+        iy = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+        inter = ix * iy
+        ua = (
+            (a[2] - a[0]) * (a[3] - a[1])
+            + (b[2] - b[0]) * (b[3] - b[1])
+            - inter
+        )
+        return inter / ua if ua > 0 else 0.0
+
+    results = []
+    num_classes = scores.shape[1]
+    for c in range(num_classes):
+        idx = np.argsort(-scores[:, c], kind="stable")
+        kept = []
+        for i in idx:
+            if scores[i, c] <= score_thr:
+                continue
+            if any(iou(boxes[i], boxes[j]) > iou_thr for j in kept):
+                continue
+            kept.append(i)
+        results += [(scores[i, c], c, tuple(boxes[i])) for i in kept]
+    results.sort(key=lambda r: -r[0])
+    return results[:max_det]
+
+
+class TestFilterDetections:
+    def test_simple_suppression(self):
+        boxes = jnp.asarray(
+            [[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]], jnp.float32
+        )
+        # one class; overlapping pair -> keep higher score; distant box kept
+        scores = jnp.asarray([[0.9], [0.8], [0.7]], jnp.float32)
+        b, s, c, n = filter_detections(boxes, scores, max_detections=10,
+                                       pre_nms_top_k=3)
+        assert int(n) == 2
+        np.testing.assert_allclose(np.asarray(s)[:2], [0.9, 0.7], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(b)[0], [0, 0, 10, 10])
+        assert np.asarray(c)[2] == -1  # padding
+
+    def test_per_class_independence(self):
+        # Same overlapping boxes, different classes -> both kept.
+        boxes = jnp.asarray([[0, 0, 10, 10], [1, 1, 11, 11]], jnp.float32)
+        scores = jnp.asarray([[0.9, 0.0], [0.0, 0.8]], jnp.float32)
+        _, s, c, n = filter_detections(boxes, scores, max_detections=10,
+                                       pre_nms_top_k=4)
+        assert int(n) == 2
+        assert set(np.asarray(c)[:2].tolist()) == {0, 1}
+
+    def test_score_threshold(self):
+        boxes = jnp.asarray([[0, 0, 10, 10]], jnp.float32)
+        scores = jnp.asarray([[0.005]], jnp.float32)
+        _, _, _, n = filter_detections(boxes, scores)
+        assert int(n) == 0
+
+    def test_matches_numpy_oracle_random(self):
+        rng = np.random.RandomState(42)
+        num_boxes, num_classes = 60, 5
+        xy = rng.uniform(0, 80, (num_boxes, 2))
+        wh = rng.uniform(5, 40, (num_boxes, 2))
+        boxes = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+        scores = rng.uniform(0, 1, (num_boxes, num_classes)).astype(np.float32)
+        scores = np.where(scores > 0.5, scores, 0.0)  # sparsify
+
+        want = reference_nms(boxes, scores, max_det=40)
+        b, s, c, n = filter_detections(
+            jnp.asarray(boxes),
+            jnp.asarray(scores),
+            max_detections=40,
+            pre_nms_top_k=num_boxes * num_classes,
+        )
+        got_n = int(n)
+        assert got_n == len(want)
+        np.testing.assert_allclose(
+            np.asarray(s)[:got_n], [w[0] for w in want], atol=1e-6
+        )
+        assert np.asarray(c)[:got_n].tolist() == [w[1] for w in want]
+        np.testing.assert_allclose(
+            np.asarray(b)[:got_n], [w[2] for w in want], atol=1e-5
+        )
+
+    def test_batched_and_jittable(self):
+        rng = np.random.RandomState(0)
+        boxes = jnp.asarray(rng.uniform(0, 50, (2, 30, 4)), jnp.float32)
+        boxes = boxes.at[..., 2:].add(30.0)
+        scores = jnp.asarray(rng.uniform(0, 1, (2, 30, 3)), jnp.float32)
+        cfg = EvalConfig(max_detections=10, pre_nms_top_k=64)
+        fn = jax.jit(lambda b, s: batched_filter_detections(b, s, cfg))
+        db, ds, dc, dn = fn(boxes, scores)
+        assert db.shape == (2, 10, 4)
+        assert ds.shape == (2, 10)
+        assert dc.shape == (2, 10)
+        assert dn.shape == (2,)
