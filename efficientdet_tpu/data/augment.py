@@ -1,0 +1,213 @@
+"""Host-side data augmentation (reference ``utils/transform.py`` +
+``augmentor/{color,transform,misc}.py``, SURVEY.md SS2 "Augmentation").
+
+Geometric transforms are 3x3 homogeneous matrices applied jointly to the
+image (cv2.warpAffine) and the boxes (corner transform + re-axis-align),
+exactly the reference's scheme. Visual effects operate on uint8 RGB.
+All randomness flows through a caller-provided ``np.random.RandomState`` so
+batches are reproducible.
+
+The composed ``random_transform``/``VisualEffect`` entry points plug into
+``data.common.batch_iterator(augment=...)`` with signature
+``(rng, image, boxes) -> (image, boxes)``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Matrix builders
+# ---------------------------------------------------------------------------
+
+
+def rotation_matrix(angle: float) -> np.ndarray:
+    c, s = np.cos(angle), np.sin(angle)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+
+
+def translation_matrix(tx: float, ty: float) -> np.ndarray:
+    return np.array([[1, 0, tx], [0, 1, ty], [0, 0, 1]], np.float32)
+
+
+def shear_matrix(angle: float) -> np.ndarray:
+    return np.array(
+        [[1, -np.sin(angle), 0], [0, np.cos(angle), 0], [0, 0, 1]], np.float32
+    )
+
+
+def scaling_matrix(sx: float, sy: float) -> np.ndarray:
+    return np.array([[sx, 0, 0], [0, sy, 0], [0, 0, 1]], np.float32)
+
+
+def flip_matrix(flip_x: bool, flip_y: bool) -> np.ndarray:
+    return scaling_matrix(-1.0 if flip_x else 1.0, -1.0 if flip_y else 1.0)
+
+
+def center_transform(matrix: np.ndarray, image_hw: Tuple[int, int]) -> np.ndarray:
+    """Apply ``matrix`` about the image centre (reference change_transform_origin)."""
+    h, w = image_hw
+    center = translation_matrix(0.5 * w, 0.5 * h)
+    uncenter = translation_matrix(-0.5 * w, -0.5 * h)
+    return center @ matrix @ uncenter
+
+
+def transform_boxes(matrix: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    """Transform xyxy boxes: map all 4 corners, re-axis-align (reference)."""
+    if len(boxes) == 0:
+        return boxes
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    corners = np.stack(
+        [
+            np.stack([x1, y1], -1),
+            np.stack([x2, y1], -1),
+            np.stack([x1, y2], -1),
+            np.stack([x2, y2], -1),
+        ],
+        axis=1,
+    )  # (N, 4, 2)
+    ones = np.ones((*corners.shape[:2], 1), np.float32)
+    hom = np.concatenate([corners, ones], -1) @ matrix.T  # (N, 4, 3)
+    pts = hom[..., :2]
+    out = np.concatenate([pts.min(axis=1), pts.max(axis=1)], -1)
+    return out.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Random geometric augmentation
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformConfig:
+    """Ranges mirroring the reference's random_transform defaults."""
+
+    min_rotation: float = -0.1
+    max_rotation: float = 0.1
+    min_translation: Tuple[float, float] = (-0.1, -0.1)
+    max_translation: Tuple[float, float] = (0.1, 0.1)
+    min_shear: float = -0.1
+    max_shear: float = 0.1
+    min_scaling: Tuple[float, float] = (0.9, 0.9)
+    max_scaling: Tuple[float, float] = (1.1, 1.1)
+    flip_x_chance: float = 0.5
+    flip_y_chance: float = 0.0
+
+
+def random_transform_matrix(
+    rng: np.random.RandomState,
+    image_hw: Tuple[int, int],
+    config: TransformConfig = TransformConfig(),
+) -> np.ndarray:
+    c = config
+    m = rotation_matrix(rng.uniform(c.min_rotation, c.max_rotation))
+    h, w = image_hw
+    tx = rng.uniform(c.min_translation[0], c.max_translation[0]) * w
+    ty = rng.uniform(c.min_translation[1], c.max_translation[1]) * h
+    m = translation_matrix(tx, ty) @ m
+    m = shear_matrix(rng.uniform(c.min_shear, c.max_shear)) @ m
+    m = (
+        scaling_matrix(
+            rng.uniform(c.min_scaling[0], c.max_scaling[0]),
+            rng.uniform(c.min_scaling[1], c.max_scaling[1]),
+        )
+        @ m
+    )
+    m = (
+        flip_matrix(
+            rng.uniform() < c.flip_x_chance, rng.uniform() < c.flip_y_chance
+        )
+        @ m
+    )
+    return center_transform(m, image_hw)
+
+
+def apply_transform(
+    matrix: np.ndarray, image: np.ndarray, boxes: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    import cv2
+
+    h, w = image.shape[:2]
+    warped = cv2.warpAffine(
+        image,
+        matrix[:2],
+        (w, h),
+        flags=cv2.INTER_LINEAR,
+        borderMode=cv2.BORDER_CONSTANT,
+        borderValue=0,
+    )
+    return warped, transform_boxes(matrix, boxes)
+
+
+# ---------------------------------------------------------------------------
+# Visual effects (reference augmentor/color.py)
+# ---------------------------------------------------------------------------
+
+
+def adjust_brightness(image: np.ndarray, delta: float) -> np.ndarray:
+    return np.clip(image.astype(np.float32) + delta * 255.0, 0, 255).astype(np.uint8)
+
+
+def adjust_contrast(image: np.ndarray, factor: float) -> np.ndarray:
+    mean = image.mean(axis=(0, 1), keepdims=True)
+    return np.clip(
+        (image.astype(np.float32) - mean) * factor + mean, 0, 255
+    ).astype(np.uint8)
+
+
+def adjust_saturation(image: np.ndarray, factor: float) -> np.ndarray:
+    import cv2
+
+    hsv = cv2.cvtColor(image, cv2.COLOR_RGB2HSV).astype(np.float32)
+    hsv[..., 1] = np.clip(hsv[..., 1] * factor, 0, 255)
+    return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+
+
+def adjust_hue(image: np.ndarray, delta: float) -> np.ndarray:
+    import cv2
+
+    hsv = cv2.cvtColor(image, cv2.COLOR_RGB2HSV).astype(np.int32)
+    hsv[..., 0] = (hsv[..., 0] + int(delta * 180)) % 180
+    return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+
+
+def random_visual_effect(
+    rng: np.random.RandomState,
+    image: np.ndarray,
+    contrast_range=(0.9, 1.1),
+    brightness_range=(-0.1, 0.1),
+    hue_range=(-0.05, 0.05),
+    saturation_range=(0.95, 1.05),
+) -> np.ndarray:
+    image = adjust_contrast(image, rng.uniform(*contrast_range))
+    image = adjust_brightness(image, rng.uniform(*brightness_range))
+    image = adjust_hue(image, rng.uniform(*hue_range))
+    image = adjust_saturation(image, rng.uniform(*saturation_range))
+    return image
+
+
+# ---------------------------------------------------------------------------
+# Composite augmenter for batch_iterator
+# ---------------------------------------------------------------------------
+
+
+def make_augmenter(
+    transform_config: Optional[TransformConfig] = TransformConfig(),
+    visual: bool = True,
+) -> Callable:
+    """(rng, image, boxes) -> (image, boxes): the reference's
+    ``--random-transform`` path."""
+
+    def augment(rng: np.random.RandomState, image: np.ndarray, boxes: np.ndarray):
+        if visual:
+            image = random_visual_effect(rng, image)
+        if transform_config is not None:
+            m = random_transform_matrix(rng, image.shape[:2], transform_config)
+            image, boxes = apply_transform(m, image, boxes)
+        return image, boxes
+
+    return augment

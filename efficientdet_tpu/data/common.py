@@ -1,0 +1,178 @@
+"""Dataset base class and the host->device batch pipeline.
+
+Rebuild of the reference's ``generators/common.py`` ``Generator``
+(SURVEY.md SS2 "Data generators"), redesigned for the TPU execution model:
+
+* The reference did resize/pad/normalise *and* anchor matching per item on
+  the host (Cython IoU). Here the host does only what XLA cannot: file IO,
+  JPEG decode, and (optional) cv2 augmentation on uint8 images. Resize,
+  pad-to-square, normalisation run fused on-device
+  (``ops.preprocess.preprocess_image``) and anchor matching happens inside
+  the jitted train step (``anchors.anchor_targets_batch``).
+* Batches are fixed-shape dicts (images, gt_boxes padded to ``max_gt``,
+  gt_labels with -1 padding) so one XLA program serves every step.
+
+Annotation filtering mirrors the reference: boxes are clipped to the image
+and degenerate boxes (x2<=x1, y2<=y1) dropped.
+"""
+
+from __future__ import annotations
+
+import abc
+from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+class DetectionDataset(abc.ABC):
+    """Abstract dataset: images + xyxy box annotations with integer labels."""
+
+    @abc.abstractmethod
+    def __len__(self) -> int:
+        ...
+
+    @abc.abstractmethod
+    def load_image(self, index: int) -> np.ndarray:
+        """(H, W, 3) RGB uint8."""
+
+    @abc.abstractmethod
+    def load_annotations(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+        """((N, 4) float32 xyxy, (N,) int32 labels)."""
+
+    @abc.abstractmethod
+    def num_classes(self) -> int:
+        ...
+
+    def label_to_name(self, label: int) -> str:
+        return str(label)
+
+    def image_id(self, index: int) -> int:
+        """Stable id for eval bookkeeping (COCO image id where applicable)."""
+        return index
+
+    def image_aspect_ratio(self, index: int) -> float:
+        img = self.load_image(index)
+        h, w = img.shape[:2]
+        return w / h
+
+    def filter_annotations(
+        self, boxes: np.ndarray, labels: np.ndarray, hw: Tuple[int, int]
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Clip to image and drop degenerate boxes (reference behaviour)."""
+        h, w = hw
+        if len(boxes) == 0:
+            return boxes.reshape(0, 4).astype(np.float32), labels.astype(np.int32)
+        boxes = boxes.astype(np.float32).copy()
+        boxes[:, 0] = np.clip(boxes[:, 0], 0, w - 1)
+        boxes[:, 1] = np.clip(boxes[:, 1], 0, h - 1)
+        boxes[:, 2] = np.clip(boxes[:, 2], 0, w - 1)
+        boxes[:, 3] = np.clip(boxes[:, 3], 0, h - 1)
+        keep = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
+        return boxes[keep], labels[keep].astype(np.int32)
+
+
+def letterbox_hostside(
+    image: np.ndarray, target_size: int
+) -> Tuple[np.ndarray, float]:
+    """Host (numpy) aspect-preserving resize + pad, for the batching path.
+
+    The single-image predict path uses the fused on-device
+    ``ops.preprocess.preprocess_image`` instead; this host variant exists so
+    a *batch* of differently-sized images can be assembled into one
+    fixed-shape uint8 tensor that is then normalised on-device in one fused
+    program (avoiding one XLA compilation per unique source shape).
+    """
+    import cv2
+
+    h, w = image.shape[:2]
+    scale = target_size / max(h, w)
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    resized = cv2.resize(image, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    canvas = np.zeros((target_size, target_size, 3), image.dtype)
+    canvas[:nh, :nw] = resized
+    return canvas, scale
+
+
+def batch_iterator(
+    dataset: DetectionDataset,
+    batch_size: int,
+    target_size: int,
+    max_gt: int = 100,
+    shuffle: bool = True,
+    repeat: bool = False,
+    augment: Optional[Callable] = None,
+    seed: int = 0,
+    group_by_aspect: bool = False,
+    drop_last: bool = True,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Yield fixed-shape training/eval batches.
+
+    Each batch dict has:
+      images: (B, S, S, 3) uint8 letterboxed (normalise on-device),
+      gt_boxes: (B, max_gt, 4) float32 in model-input coords,
+      gt_labels: (B, max_gt) int32, -1 padded,
+      scales: (B,) float32 letterbox scale per image,
+      indices: (B,) int32 dataset indices.
+    """
+    rng = np.random.RandomState(seed)
+    n = len(dataset)
+
+    def order():
+        idx = np.arange(n)
+        if group_by_aspect:
+            ratios = np.asarray(
+                [dataset.image_aspect_ratio(i) for i in range(n)]
+            )
+            idx = idx[np.argsort(ratios, kind="stable")]
+        if shuffle:
+            if group_by_aspect:
+                # shuffle whole batches to keep aspect grouping
+                nb = len(idx) // batch_size
+                groups = idx[: nb * batch_size].reshape(nb, batch_size)
+                rng.shuffle(groups)
+                idx = np.concatenate([groups.reshape(-1), idx[nb * batch_size:]])
+            else:
+                rng.shuffle(idx)
+        return idx
+
+    while True:
+        idx = order()
+        for start in range(0, n, batch_size):
+            chunk = idx[start : start + batch_size]
+            if len(chunk) < batch_size:
+                if drop_last:
+                    continue
+                chunk = np.concatenate(
+                    [chunk, chunk[: batch_size - len(chunk)]]
+                )  # wrap-pad
+            images = np.zeros((batch_size, target_size, target_size, 3), np.uint8)
+            gt_boxes = np.zeros((batch_size, max_gt, 4), np.float32)
+            gt_labels = np.full((batch_size, max_gt), -1, np.int32)
+            scales = np.zeros((batch_size,), np.float32)
+            for bi, di in enumerate(chunk):
+                img = dataset.load_image(int(di))
+                boxes, labels = dataset.load_annotations(int(di))
+                boxes, labels = dataset.filter_annotations(
+                    boxes, labels, img.shape[:2]
+                )
+                if augment is not None:
+                    img, boxes = augment(rng, img, boxes)
+                    boxes, labels = dataset.filter_annotations(
+                        boxes, labels, img.shape[:2]
+                    )
+                canvas, scale = letterbox_hostside(img, target_size)
+                images[bi] = canvas
+                scales[bi] = scale
+                k = min(len(boxes), max_gt)
+                if k:
+                    gt_boxes[bi, :k] = boxes[:k] * scale
+                    gt_labels[bi, :k] = labels[:k]
+            yield {
+                "images": images,
+                "gt_boxes": gt_boxes,
+                "gt_labels": gt_labels,
+                "scales": scales,
+                "indices": chunk.astype(np.int32),
+            }
+        if not repeat:
+            break

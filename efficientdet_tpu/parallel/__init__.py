@@ -1,0 +1,9 @@
+"""Device-mesh sharding: data-parallel training and inference over ICI."""
+
+from efficientdet_tpu.parallel.sharding import (
+    make_mesh,
+    replicate,
+    shard_batch,
+    make_sharded_predict_fn,
+    make_sharded_train_step,
+)

@@ -1,0 +1,111 @@
+"""Mesh construction and pjit-sharded entry points.
+
+The reference's only parallelism was optional single-host multi-GPU data
+parallelism hidden inside Keras (SURVEY.md SS2 "Parallelism: DP", SS5
+"Distributed communication backend"). The TPU-native build makes it
+first-class: a 1-D ``jax.sharding.Mesh`` over the slice's chips, batches
+sharded over the ``data`` axis, params/optimizer state replicated, and XLA
+emitting the gradient ``psum`` and output ``all_gather`` collectives over
+ICI — no NCCL/MPI analog is hand-written, by design.
+
+The mesh is built with a (1, N) shape reserving a leading ``model`` axis of
+size 1 so tensor-parallel sharding can be added later without breaking the
+API (SURVEY.md SS2: "the mesh API must not preclude adding a 'model' axis").
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from efficientdet_tpu.configs import EvalConfig, ModelConfig, TrainConfig
+from efficientdet_tpu.models.detector import EfficientDet, predict_pipeline
+from efficientdet_tpu.train_lib import TrainState, make_train_step
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    model_parallelism: int = 1,
+) -> Mesh:
+    """1-D data mesh (optionally x model) over the given/all devices.
+
+    On a v5e slice the devices enumerate along ICI, so a 1-D mesh keeps the
+    gradient all-reduce on ICI links (DCN would only appear across slices).
+    """
+    devices = list(devices) if devices is not None else jax.devices()
+    n = len(devices)
+    if n % model_parallelism:
+        raise ValueError(f"{n} devices not divisible by model={model_parallelism}")
+    arr = np.asarray(devices).reshape(model_parallelism, n // model_parallelism)
+    return Mesh(arr, (MODEL_AXIS, DATA_AXIS))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Device_put a host batch with the leading axis split over ``data``."""
+    sh = data_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), sh), batch)
+
+
+def make_sharded_train_step(
+    model: EfficientDet,
+    config: TrainConfig,
+    mesh: Mesh,
+    image_size: Optional[int] = None,
+    donate_state: bool = True,
+):
+    """Data-parallel jitted train step.
+
+    Params/opt-state replicated (P()), batch sharded over ``data``. XLA
+    inserts the gradient psum over ICI automatically from the shardings —
+    the jitted function body is the plain single-device step.
+    """
+    step_fn = make_train_step(model, config, image_size)
+    repl = replicate(mesh)
+    data = data_sharding(mesh)
+    batch_shardings = {"images": data, "gt_boxes": data, "gt_labels": data}
+
+    # Sharding pytree prefixes: `repl` broadcasts over the whole TrainState.
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, batch_shardings, repl),
+        donate_argnums=(0,) if donate_state else (),
+    )
+
+
+def make_sharded_predict_fn(
+    model: EfficientDet,
+    mesh: Mesh,
+    eval_config: EvalConfig = EvalConfig(),
+    preprocess: bool = True,
+):
+    """Data-parallel batched inference (BASELINE.json configs 2/3/5).
+
+    Images shard over ``data``; every device runs preprocess -> forward ->
+    decode -> NMS on its sub-batch; outputs stay sharded (callers gather with
+    ``jax.device_get`` which performs the all-gather implicitly).
+    """
+    data = data_sharding(mesh)
+
+    @jax.jit
+    def predict(variables, images):
+        images = jax.lax.with_sharding_constraint(images, data)
+        return predict_pipeline(
+            model, variables, images, eval_config, preprocess=preprocess
+        )
+
+    return predict

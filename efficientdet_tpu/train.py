@@ -1,0 +1,229 @@
+"""Training CLI (reference ``train.py``, SURVEY.md SS2 "Training CLI").
+
+Flag names mirror the reference for API familiarity:
+
+    python -m efficientdet_tpu.train coco  /data/coco  --phi 0 ...
+    python -m efficientdet_tpu.train pascal /data/VOC2012 ...
+    python -m efficientdet_tpu.train csv annots.csv classes.csv ...
+
+The loop is TPU-native: one jitted, data-parallel-sharded step does
+preprocessed-batch -> on-device anchor matching -> fwd/bwd -> Adam update;
+the host only feeds letterboxed uint8 batches and logs metrics. Callback
+equivalents: orbax CheckpointManager (ModelCheckpoint), ReduceLROnPlateau
+logic on epoch mAP (host-side), JSONL metrics (TensorBoard scalars).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Train an EfficientDet model (TPU-native).")
+    sub = p.add_subparsers(dest="dataset_type", required=True)
+
+    coco = sub.add_parser("coco")
+    coco.add_argument("coco_path")
+    coco.add_argument("--train-set", default="train2017")
+    coco.add_argument("--val-set", default="val2017")
+
+    pascal = sub.add_parser("pascal")
+    pascal.add_argument("pascal_path")
+    pascal.add_argument("--train-set", default="trainval")
+    pascal.add_argument("--val-set", default="test")
+
+    csv_ = sub.add_parser("csv")
+    csv_.add_argument("annotations_path")
+    csv_.add_argument("classes_path")
+    csv_.add_argument("--val-annotations-path")
+
+    for q in (coco, pascal, csv_):
+        q.add_argument("--phi", type=int, default=0, choices=range(8))
+        q.add_argument("--weighted-bifpn", action="store_true", default=True)
+        q.add_argument("--no-weighted-bifpn", dest="weighted_bifpn",
+                       action="store_false")
+        q.add_argument("--freeze-backbone", action="store_true")
+        q.add_argument("--freeze-bn", action="store_true")
+        q.add_argument("--batch-size", type=int, default=8)
+        q.add_argument("--epochs", type=int, default=50)
+        q.add_argument("--steps", type=int, default=None,
+                       help="steps per epoch (default: dataset//batch)")
+        q.add_argument("--lr", type=float, default=1e-3)
+        q.add_argument("--snapshot", default=None,
+                       help="checkpoint dir to resume from")
+        q.add_argument("--snapshot-path", default="checkpoints")
+        q.add_argument("--random-transform", action="store_true")
+        q.add_argument("--compute-val-loss", action="store_true")
+        q.add_argument("--max-gt", type=int, default=100)
+        q.add_argument("--image-size", type=int, default=None)
+        q.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+        q.add_argument("--log-file", default=None)
+        q.add_argument("--no-eval", action="store_true")
+        q.add_argument("--eval-every", type=int, default=1, help="epochs")
+        q.add_argument("--reduce-lr-patience", type=int, default=2)
+        q.add_argument("--reduce-lr-factor", type=float, default=0.1)
+        q.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def build_dataset(args, train: bool):
+    from efficientdet_tpu.data import CocoDataset, CsvDataset, PascalVocDataset
+
+    if args.dataset_type == "coco":
+        return CocoDataset(args.coco_path, args.train_set if train else args.val_set)
+    if args.dataset_type == "pascal":
+        return PascalVocDataset(
+            args.pascal_path, args.train_set if train else args.val_set
+        )
+    if train:
+        return CsvDataset(args.annotations_path, args.classes_path)
+    if args.val_annotations_path:
+        return CsvDataset(args.val_annotations_path, args.classes_path)
+    return None
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    import efficientdet_tpu as ed
+    from efficientdet_tpu.configs import TrainConfig
+    from efficientdet_tpu.data.augment import make_augmenter
+    from efficientdet_tpu.data.common import batch_iterator
+    from efficientdet_tpu.parallel import (
+        make_mesh,
+        make_sharded_predict_fn,
+        make_sharded_train_step,
+        shard_batch,
+    )
+    from efficientdet_tpu.train_lib import create_train_state
+    from efficientdet_tpu.utils.checkpoint import CheckpointManager
+
+    train_ds = build_dataset(args, train=True)
+    val_ds = build_dataset(args, train=False)
+    num_classes = train_ds.num_classes()
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    model, cfg = ed.build_efficientdet(
+        args.phi,
+        num_classes=num_classes,
+        weighted_bifpn=args.weighted_bifpn,
+        freeze_bn=args.freeze_bn,
+        dtype=dtype,
+        image_size=args.image_size,
+    )
+    size = cfg.image_size
+    print(f"EfficientDet-D{args.phi} | {size}px | {num_classes} classes | "
+          f"{jax.device_count()} device(s)", flush=True)
+
+    steps_per_epoch = args.steps or max(1, len(train_ds) // args.batch_size)
+    tc = TrainConfig(
+        batch_size=args.batch_size,
+        learning_rate=args.lr,
+        epochs=args.epochs,
+        steps_per_epoch=steps_per_epoch,
+        max_gt_boxes=args.max_gt,
+        freeze_backbone=args.freeze_backbone,
+    )
+
+    mesh = make_mesh()
+    rng = jax.random.PRNGKey(args.seed)
+    state = create_train_state(model, tc, rng)
+    ckpt = CheckpointManager(args.snapshot_path)
+    if args.snapshot:
+        state = CheckpointManager(args.snapshot).restore(state)
+        print(f"resumed from {args.snapshot} at step {int(state.step)}")
+    state = jax.device_put(
+        state, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    )
+    step_fn = make_sharded_train_step(model, tc, mesh)
+
+    augment = make_augmenter() if args.random_transform else None
+    it = batch_iterator(
+        train_ds, args.batch_size, target_size=size, max_gt=args.max_gt,
+        shuffle=True, repeat=True, augment=augment, seed=args.seed,
+    )
+
+    # Fused normalise happens on-device inside the step: convert images here.
+    from efficientdet_tpu.ops.preprocess import preprocess_batch_fixed
+
+    @jax.jit
+    def normalise(u8):
+        return preprocess_batch_fixed(u8, dtype=jnp.float32)
+
+    log_path = args.log_file or os.path.join(args.snapshot_path, "train_log.jsonl")
+    os.makedirs(os.path.dirname(log_path) or ".", exist_ok=True)
+    logf = open(log_path, "a")
+
+    lr_scale = 1.0
+    best_map, bad_epochs = -1.0, 0
+    step_rng = jax.random.PRNGKey(args.seed + 1)
+    t_epoch = time.time()
+    for epoch in range(args.epochs):
+        agg = {}
+        for s in range(steps_per_epoch):
+            batch = next(it)
+            device_batch = shard_batch(
+                {
+                    "images": batch["images"],
+                    "gt_boxes": batch["gt_boxes"],
+                    "gt_labels": batch["gt_labels"],
+                },
+                mesh,
+            )
+            device_batch["images"] = normalise(device_batch["images"])
+            state, metrics = step_fn(state, device_batch, step_rng)
+            if s % 50 == 0 or s == steps_per_epoch - 1:
+                m = {k: float(v) for k, v in metrics.items()}
+                m.update(epoch=epoch, step=int(state.step),
+                         sec=round(time.time() - t_epoch, 1))
+                print(json.dumps(m), flush=True)
+                logf.write(json.dumps(m) + "\n")
+                logf.flush()
+                agg = m
+        # --- epoch end: eval + checkpoint + ReduceLROnPlateau ---
+        epoch_metrics = {"loss": agg.get("loss", 0.0)}
+        if val_ds is not None and not args.no_eval and (
+            (epoch + 1) % args.eval_every == 0
+        ):
+            from efficientdet_tpu.evaluation.voc import evaluate_voc, mean_ap
+
+            predict = make_sharded_predict_fn(model, mesh)
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            aps = evaluate_voc(
+                val_ds, predict, variables, size, batch_size=args.batch_size,
+                max_images=500,
+            )
+            epoch_map = mean_ap(aps)
+            epoch_metrics["mAP"] = epoch_map
+            print(f"epoch {epoch}: mAP={epoch_map:.4f}", flush=True)
+            if epoch_map > best_map:
+                best_map, bad_epochs = epoch_map, 0
+            else:
+                bad_epochs += 1
+                if bad_epochs >= args.reduce_lr_patience:
+                    lr_scale *= args.reduce_lr_factor
+                    bad_epochs = 0
+                    print(f"ReduceLROnPlateau: lr_scale -> {lr_scale}", flush=True)
+                    # rebuild step with scaled lr (simple + explicit)
+                    import dataclasses as _dc
+
+                    tc = _dc.replace(tc, learning_rate=args.lr * lr_scale)
+                    step_fn = make_sharded_train_step(model, tc, mesh)
+        ckpt.save(int(state.step), jax.device_get(state), epoch_metrics)
+        t_epoch = time.time()
+    logf.close()
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,178 @@
+"""Jit-compiled training step: the reference's per-step hot loop, fused.
+
+The reference's training step (SURVEY.md SS3.1) split work between host
+Python (generator preprocessing + Cython anchor matching) and the TF runtime
+(forward/backward). Here the ENTIRE step — anchor matching, focal +
+smooth-L1 losses, forward, backward, optimiser update, BN running-stat
+update — is one jitted XLA program (north star, BASELINE.json:5), and it
+pjit-shards over a data mesh (see ``parallel/``).
+
+State layout follows Flax conventions: ``TrainState`` carries params,
+batch_stats, opt_state and step. Batches are dicts of fixed-shape arrays:
+``images`` (B,S,S,3) normalised, ``gt_boxes`` (B,G,4), ``gt_labels`` (B,G)
+int32 with -1 padding.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from efficientdet_tpu.anchors import anchor_targets_batch, anchors_for_shape
+from efficientdet_tpu.configs import ModelConfig, TrainConfig
+from efficientdet_tpu.losses import detection_loss
+from efficientdet_tpu.models.detector import EfficientDet
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    # EMA of params for eval (0 decay = disabled, mirrors reference absence).
+    ema_params: Optional[Any] = None
+
+
+def make_learning_rate_fn(config: TrainConfig):
+    """LR schedule: constant (reference Adam 1e-3) or warmup+cosine."""
+    base = config.learning_rate
+    if config.lr_schedule == "constant":
+        if config.warmup_steps > 0:
+            return optax.linear_schedule(0.0, base, config.warmup_steps)
+        return lambda step: base
+    if config.lr_schedule == "cosine":
+        total = config.epochs * config.steps_per_epoch
+        return optax.warmup_cosine_decay_schedule(
+            0.0, base, max(config.warmup_steps, 1), max(total, 2)
+        )
+    raise ValueError(f"unknown lr_schedule {config.lr_schedule!r}")
+
+
+def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
+    """Adam(1e-3) as the reference compiles; optional clip/decay extras."""
+    lr = make_learning_rate_fn(config)
+    txs = []
+    if config.grad_clip_norm > 0:
+        txs.append(optax.clip_by_global_norm(config.grad_clip_norm))
+    if config.weight_decay > 0:
+        txs.append(optax.add_decayed_weights(config.weight_decay))
+    txs.append(optax.adam(lr))
+    return optax.chain(*txs)
+
+
+def create_train_state(
+    model: EfficientDet,
+    config: TrainConfig,
+    rng: jax.Array,
+    image_size: Optional[int] = None,
+) -> TrainState:
+    size = image_size or model.config.image_size
+    variables = model.init(rng, jnp.zeros((1, size, size, 3), jnp.float32))
+    params = variables["params"]
+    if config.freeze_backbone:
+        # Zero out backbone updates via masked optimiser (see make_train_step).
+        pass
+    tx = make_optimizer(config)
+    opt_state = tx.init(params)
+    ema = params if config.ema_decay > 0 else None
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=opt_state,
+        ema_params=ema,
+    )
+
+
+def make_train_step(
+    model: EfficientDet,
+    config: TrainConfig,
+    image_size: Optional[int] = None,
+):
+    """Build the pure (state, batch, rng) -> (state, metrics) step function.
+
+    Not jitted here: the caller wraps it in ``jax.jit`` (single device) or
+    pjit with shardings (``parallel.sharded_train_step``).
+    """
+    cfg = model.config
+    size = image_size or cfg.image_size
+    anchors = jnp.asarray(anchors_for_shape((size, size), cfg.anchor))
+    tx = make_optimizer(config)
+
+    backbone_frozen = config.freeze_backbone
+
+    def loss_fn(params, batch_stats, batch, rng):
+        cls_t, box_t, state_t = anchor_targets_batch(
+            anchors,
+            batch["gt_boxes"],
+            batch["gt_labels"],
+            cfg.num_classes,
+            config.positive_iou,
+            config.negative_iou,
+        )
+        (cls_logits, box_preds), mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["images"],
+            train=True,
+            rngs={"dropout": rng},
+            mutable=["batch_stats"],
+        )
+        total, aux = detection_loss(
+            cls_logits,
+            box_preds,
+            cls_t,
+            box_t,
+            state_t,
+            alpha=config.focal_alpha,
+            gamma=config.focal_gamma,
+            sigma=config.huber_sigma,
+        )
+        aux["num_positives"] = jnp.mean(jnp.sum(state_t == 1.0, axis=1))
+        return total, (aux, mutated["batch_stats"])
+
+    def train_step(
+        state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array
+    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        step_rng = jax.random.fold_in(rng, state.step)
+        (total, (aux, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch, step_rng)
+
+        if backbone_frozen:
+            grads = jax.tree_util.tree_map_with_path(
+                lambda path, g: jnp.zeros_like(g)
+                if any(getattr(p, "key", None) == "backbone" for p in path)
+                else g,
+                grads,
+            )
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema_params
+        if state.ema_params is not None:
+            d = config.ema_decay
+            new_ema = jax.tree.map(
+                lambda e, p: d * e + (1.0 - d) * p, state.ema_params, new_params
+            )
+        metrics = {
+            "loss": total,
+            "grad_norm": optax.global_norm(grads),
+            **aux,
+        }
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+            ema_params=new_ema,
+        )
+        return new_state, metrics
+
+    return train_step

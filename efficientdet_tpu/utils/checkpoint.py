@@ -1,0 +1,70 @@
+"""Checkpoint save/restore via orbax (reference ModelCheckpoint + --snapshot).
+
+The reference wrote whole-model ``.h5`` snapshots per epoch and resumed with
+``--snapshot`` (SURVEY.md SS5 "Checkpoint / resume"). Here a checkpoint is
+the full ``TrainState`` (params + batch_stats + opt_state + step), written
+with orbax's StandardCheckpointer; ``keep`` limits retained snapshots and
+``best_only`` mirrors the reference's save-best-mAP-only flag.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, keep: int = 3, best_only: bool = False):
+        import orbax.checkpoint as ocp
+
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep,
+                best_fn=(lambda m: m.get("mAP", 0.0)) if best_only else None,
+                best_mode="max" if best_only else "max",
+            ),
+        )
+
+    def save(self, step: int, state: Any, metrics: Optional[dict] = None) -> None:
+        import orbax.checkpoint as ocp
+
+        metrics = {k: float(v) for k, v in (metrics or {}).items()}
+        self._mgr.save(
+            step, args=ocp.args.StandardSave(state), metrics=metrics or None
+        )
+        self._mgr.wait_until_finished()
+
+    def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
+        import orbax.checkpoint as ocp
+
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        return self._mgr.restore(
+            step, args=ocp.args.StandardRestore(state_template)
+        )
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+
+def save_params(path: str, params: Any) -> None:
+    """One-shot params-only save (reference's prediction-weights .h5)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), params)
+    ckptr.wait_until_finished()
+
+
+def load_params(path: str, template: Any) -> Any:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), target=template)

@@ -8,7 +8,7 @@ Must run before jax initialises, hence module-level in conftest.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # override the session's axon/TPU default
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,4 +17,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin (sitecustomize) forces jax_platforms="axon,cpu" via the
+# config API, which outranks the env var — force it back to pure CPU so the
+# 8 fake devices materialise.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_debug_nans", False)
+
+assert jax.device_count() == 8, (
+    f"expected 8 fake CPU devices, got {jax.devices()} — check XLA_FLAGS"
+)

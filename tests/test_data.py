@@ -1,0 +1,203 @@
+"""Tests for datasets, batching, and augmentation (SURVEY.md SS4)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from efficientdet_tpu.data import (
+    CocoDataset,
+    CsvDataset,
+    PascalVocDataset,
+    batch_iterator,
+)
+from efficientdet_tpu.data.augment import (
+    apply_transform,
+    flip_matrix,
+    center_transform,
+    make_augmenter,
+    random_transform_matrix,
+    transform_boxes,
+)
+from efficientdet_tpu.data.common import letterbox_hostside
+
+
+@pytest.fixture
+def csv_dataset(tmp_path):
+    """Two synthetic images with colored boxes on black."""
+    rows = []
+    for i, (w, h) in enumerate([(120, 80), (60, 100)]):
+        img = np.zeros((h, w, 3), np.uint8)
+        img[10 : h // 2, 10 : w // 2] = (255, 0, 0)
+        path = tmp_path / f"img{i}.png"
+        Image.fromarray(img).save(path)
+        rows.append(f"{path},10,10,{w // 2},{h // 2},thing")
+    rows.append(f"{tmp_path / 'img0.png'},20,20,60,60,widget")
+    (tmp_path / "annots.csv").write_text("\n".join(rows) + "\n")
+    (tmp_path / "classes.csv").write_text("thing,0\nwidget,1\n")
+    return CsvDataset(str(tmp_path / "annots.csv"), str(tmp_path / "classes.csv"))
+
+
+class TestCsvDataset:
+    def test_basic(self, csv_dataset):
+        ds = csv_dataset
+        assert len(ds) == 2
+        assert ds.num_classes() == 2
+        img = ds.load_image(0)
+        assert img.shape == (80, 120, 3)
+        boxes, labels = ds.load_annotations(0)
+        assert boxes.shape == (2, 4)
+        assert labels.tolist() == [0, 1]
+        assert ds.label_to_name(1) == "widget"
+
+    def test_unknown_class_raises(self, tmp_path):
+        (tmp_path / "a.csv").write_text("x.png,1,1,5,5,nope\n")
+        (tmp_path / "c.csv").write_text("thing,0\n")
+        with pytest.raises(ValueError, match="unknown class"):
+            CsvDataset(str(tmp_path / "a.csv"), str(tmp_path / "c.csv"))
+
+
+class TestBatchIterator:
+    def test_shapes_and_scaling(self, csv_dataset):
+        batches = list(
+            batch_iterator(csv_dataset, 2, target_size=128, max_gt=5,
+                           shuffle=False)
+        )
+        assert len(batches) == 1
+        b = batches[0]
+        assert b["images"].shape == (2, 128, 128, 3)
+        assert b["gt_boxes"].shape == (2, 5, 4)
+        assert b["gt_labels"].shape == (2, 5)
+        # image 0 is 120x80 -> scale 128/120
+        assert b["scales"][0] == pytest.approx(128 / 120)
+        np.testing.assert_allclose(
+            b["gt_boxes"][0, 0], np.asarray([10, 10, 60, 40]) * (128 / 120),
+            rtol=1e-5,
+        )
+        assert b["gt_labels"][0, :2].tolist() == [0, 1]
+        assert (b["gt_labels"][0, 2:] == -1).all()
+
+    def test_wrap_pad_no_drop(self, csv_dataset):
+        batches = list(
+            batch_iterator(csv_dataset, 4, target_size=64, shuffle=False,
+                           drop_last=False)
+        )
+        assert batches[0]["images"].shape[0] == 4
+        # wrapped indices repeat the dataset
+        assert sorted(set(batches[0]["indices"].tolist())) == [0, 1]
+
+    def test_letterbox(self):
+        img = np.full((50, 100, 3), 200, np.uint8)
+        canvas, scale = letterbox_hostside(img, 64)
+        assert canvas.shape == (64, 64, 3)
+        assert scale == pytest.approx(0.64)
+        assert canvas[:32, :, :].mean() > 150  # content
+        assert canvas[40:, :, :].sum() == 0  # padding
+
+
+class TestAugment:
+    def test_flip_x_boxes(self):
+        img = np.zeros((100, 200, 3), np.uint8)
+        boxes = np.asarray([[10.0, 20.0, 60.0, 80.0]], np.float32)
+        m = center_transform(flip_matrix(True, False), (100, 200))
+        _, out = apply_transform(m, img, boxes)
+        np.testing.assert_allclose(out, [[140, 20, 190, 80]], atol=1e-4)
+
+    def test_transform_boxes_identity(self):
+        boxes = np.asarray([[5.0, 6.0, 20.0, 30.0]], np.float32)
+        np.testing.assert_allclose(transform_boxes(np.eye(3), boxes), boxes)
+
+    def test_random_transform_keeps_count(self):
+        rng = np.random.RandomState(0)
+        img = np.random.randint(0, 255, (80, 80, 3), np.uint8)
+        boxes = np.asarray([[10, 10, 40, 40], [30, 30, 70, 70]], np.float32)
+        aug = make_augmenter()
+        img2, boxes2 = aug(rng, img, boxes)
+        assert img2.shape == img.shape
+        assert boxes2.shape == boxes.shape
+
+    def test_augmented_batch_pipeline(self, csv_dataset):
+        aug = make_augmenter()
+        b = next(
+            batch_iterator(csv_dataset, 2, target_size=64, shuffle=False,
+                           augment=aug, seed=3)
+        )
+        assert b["images"].shape == (2, 64, 64, 3)
+        assert np.isfinite(b["gt_boxes"]).all()
+
+
+@pytest.fixture
+def coco_dir(tmp_path):
+    img_dir = tmp_path / "val2017"
+    img_dir.mkdir()
+    ann_dir = tmp_path / "annotations"
+    ann_dir.mkdir()
+    images, anns = [], []
+    for i, (w, h) in enumerate([(64, 48), (32, 32)], start=1):
+        arr = np.zeros((h, w, 3), np.uint8)
+        Image.fromarray(arr).save(img_dir / f"{i:012d}.jpg")
+        images.append(
+            {"id": i, "width": w, "height": h, "file_name": f"{i:012d}.jpg"}
+        )
+    # category ids deliberately non-contiguous (like real COCO)
+    cats = [{"id": 3, "name": "car"}, {"id": 17, "name": "cat"}]
+    anns.append({"id": 1, "image_id": 1, "category_id": 17,
+                 "bbox": [5, 5, 20, 20], "area": 400, "iscrowd": 0})
+    anns.append({"id": 2, "image_id": 1, "category_id": 3,
+                 "bbox": [1, 1, 10, 10], "area": 100, "iscrowd": 1})
+    with open(ann_dir / "instances_val2017.json", "w") as f:
+        json.dump({"images": images, "annotations": anns, "categories": cats}, f)
+    return str(tmp_path)
+
+
+class TestCocoDataset:
+    def test_label_mapping_and_crowd(self, coco_dir):
+        ds = CocoDataset(coco_dir, "val2017")
+        assert len(ds) == 2
+        assert ds.num_classes() == 2
+        # cat id 3 -> label 0, id 17 -> label 1 (sorted by id)
+        assert ds.label_to_name(0) == "car"
+        assert ds.label_to_name(1) == "cat"
+        boxes, labels = ds.load_annotations(0)
+        assert len(boxes) == 1  # crowd excluded by default
+        np.testing.assert_allclose(boxes[0], [5, 5, 25, 25])
+        assert labels[0] == 1
+        assert ds.image_id(0) == 1
+        img = ds.load_image(0)
+        assert img.shape == (48, 64, 3)
+
+
+@pytest.fixture
+def voc_dir(tmp_path):
+    for d in ("JPEGImages", "Annotations", "ImageSets/Main"):
+        (tmp_path / d).mkdir(parents=True)
+    Image.fromarray(np.zeros((40, 60, 3), np.uint8)).save(
+        tmp_path / "JPEGImages" / "000001.jpg"
+    )
+    (tmp_path / "Annotations" / "000001.xml").write_text(
+        """<annotation><object><name>dog</name><difficult>0</difficult>
+        <bndbox><xmin>11</xmin><ymin>12</ymin><xmax>31</xmax><ymax>32</ymax>
+        </bndbox></object>
+        <object><name>person</name><difficult>1</difficult>
+        <bndbox><xmin>1</xmin><ymin>1</ymin><xmax>5</xmax><ymax>5</ymax>
+        </bndbox></object></annotation>"""
+    )
+    (tmp_path / "ImageSets" / "Main" / "trainval.txt").write_text("000001\n")
+    return str(tmp_path)
+
+
+class TestPascalDataset:
+    def test_parse(self, voc_dir):
+        ds = PascalVocDataset(voc_dir, "trainval")
+        assert len(ds) == 1
+        boxes, labels = ds.load_annotations(0)
+        assert len(boxes) == 2
+        np.testing.assert_allclose(boxes[0], [10, 11, 30, 31])  # 1-based -> 0
+        assert ds.label_to_name(labels[0]) == "dog"
+
+    def test_skip_difficult(self, voc_dir):
+        ds = PascalVocDataset(voc_dir, "trainval", skip_difficult=True)
+        boxes, _ = ds.load_annotations(0)
+        assert len(boxes) == 1

@@ -1,0 +1,105 @@
+"""End-to-end prediction pipeline tests (SURVEY.md SS4 Integration,
+BASELINE.json config 1: D0 single-image CPU-runnable predict)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import efficientdet_tpu as ed
+from efficientdet_tpu.configs import EvalConfig, ModelConfig
+from efficientdet_tpu.models.detector import EfficientDet, make_predict_fn
+from efficientdet_tpu.ops.preprocess import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    preprocess_image,
+)
+from efficientdet_tpu.parallel import make_mesh, make_sharded_predict_fn
+
+
+def tiny_model(num_classes=4, image_size=128):
+    cfg = dataclasses.replace(
+        ModelConfig.for_phi(0, num_classes=num_classes, image_size=image_size),
+        bifpn_width=16,
+        bifpn_depth=1,
+        head_depth=1,
+    )
+    return EfficientDet(config=cfg), cfg
+
+
+class TestPreprocess:
+    def test_aspect_preserving_pad(self):
+        img = jnp.ones((100, 200, 3), jnp.uint8) * 255
+        out, scale = preprocess_image(img, 128)
+        assert out.shape == (128, 128, 3)
+        assert abs(float(scale) - 128 / 200) < 1e-6
+        # bottom rows beyond the resized 64px extent are zero padding
+        np.testing.assert_allclose(np.asarray(out)[65:, :, :], 0.0)
+        # top-left is normalised white
+        want = (1.0 - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
+        np.testing.assert_allclose(np.asarray(out)[0, 0], want, atol=1e-4)
+
+    def test_square_noop_scale(self):
+        img = jnp.zeros((256, 256, 3), jnp.uint8)
+        out, scale = preprocess_image(img, 128)
+        assert out.shape == (128, 128, 3)
+        assert abs(float(scale) - 0.5) < 1e-6
+
+
+class TestPredictEndToEnd:
+    def test_shapes_and_validity(self):
+        model, cfg = tiny_model()
+        vars_ = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+        predict = make_predict_fn(
+            model, EvalConfig(max_detections=25, pre_nms_top_k=200)
+        )
+        images = jnp.asarray(
+            np.random.RandomState(0).randint(0, 255, (2, 128, 128, 3)), jnp.uint8
+        )
+        boxes, scores, classes, n = predict(vars_, images)
+        assert boxes.shape == (2, 25, 4)
+        assert scores.shape == (2, 25)
+        assert classes.shape == (2, 25)
+        b = np.asarray(boxes)
+        assert (b >= 0).all() and (b <= 127).all()  # clipped to image
+        nv = np.asarray(n)
+        for i in range(2):
+            s = np.asarray(scores)[i]
+            assert (s[: nv[i]] > 0.01).all()
+            assert (s[nv[i]:] == -1).all()
+
+    def test_sharded_predict_eight_devices(self):
+        mesh = make_mesh()
+        model, cfg = tiny_model()
+        vars_ = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+        vars_ = jax.device_put(
+            vars_, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        )
+        predict = make_sharded_predict_fn(
+            model, mesh, EvalConfig(max_detections=10, pre_nms_top_k=100)
+        )
+        images = jnp.asarray(
+            np.random.RandomState(0).randint(0, 255, (8, 128, 128, 3)), jnp.uint8
+        )
+        boxes, scores, classes, n = predict(vars_, images)
+        assert boxes.shape == (8, 10, 4)
+        assert n.shape == (8,)
+
+    def test_sharded_matches_unsharded(self):
+        mesh = make_mesh()
+        model, cfg = tiny_model()
+        vars_ = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+        images = jnp.asarray(
+            np.random.RandomState(1).randint(0, 255, (8, 128, 128, 3)), jnp.uint8
+        )
+        cfg_eval = EvalConfig(max_detections=10, pre_nms_top_k=100)
+        single = make_predict_fn(model, cfg_eval)
+        b1, s1, c1, n1 = single(vars_, images)
+        vars_r = jax.device_put(
+            vars_, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        )
+        sharded = make_sharded_predict_fn(model, mesh, cfg_eval)
+        b2, s2, c2, n2 = sharded(vars_r, images)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))

@@ -1,0 +1,133 @@
+"""Training-step tests: loss decreases on an overfit batch; sharded step runs
+on 8 fake devices (SURVEY.md SS4 Integration/Distributed)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import efficientdet_tpu as ed
+from efficientdet_tpu.configs import ModelConfig, TrainConfig
+from efficientdet_tpu.models.detector import EfficientDet
+from efficientdet_tpu.parallel import (
+    make_mesh,
+    make_sharded_train_step,
+    shard_batch,
+)
+from efficientdet_tpu.train_lib import create_train_state, make_train_step
+
+
+def tiny_model(num_classes=4, image_size=128):
+    cfg = dataclasses.replace(
+        ModelConfig.for_phi(0, num_classes=num_classes, image_size=image_size),
+        bifpn_width=16,
+        bifpn_depth=1,
+        head_depth=1,
+    )
+    return EfficientDet(config=cfg), cfg
+
+
+def synth_batch(rng, batch, size, num_classes, max_gt=8):
+    """Deterministic synthetic images with one box each."""
+    images = rng.uniform(-1, 1, (batch, size, size, 3)).astype(np.float32)
+    gt_boxes = np.zeros((batch, max_gt, 4), np.float32)
+    gt_labels = np.full((batch, max_gt), -1, np.int32)
+    for i in range(batch):
+        x1, y1 = rng.randint(0, size // 2, 2)
+        w, h = rng.randint(size // 4, size // 2, 2)
+        gt_boxes[i, 0] = [x1, y1, min(x1 + w, size - 1), min(y1 + h, size - 1)]
+        gt_labels[i, 0] = rng.randint(0, num_classes)
+        # paint the object into the image so there is signal to fit
+        images[i, y1 : y1 + h, x1 : x1 + w, :] += 1.0
+    return {
+        "images": jnp.asarray(images),
+        "gt_boxes": jnp.asarray(gt_boxes),
+        "gt_labels": jnp.asarray(gt_labels),
+    }
+
+
+class TestTrainStep:
+    def test_loss_decreases_overfit(self):
+        model, cfg = tiny_model()
+        tc = TrainConfig(batch_size=2, learning_rate=1e-3)
+        state = create_train_state(model, tc, jax.random.PRNGKey(0))
+        step = jax.jit(make_train_step(model, tc))
+        batch = synth_batch(np.random.RandomState(0), 2, 128, 4)
+        rng = jax.random.PRNGKey(1)
+        state, first = step(state, batch, rng)
+        losses = [float(first["loss"])]
+        for _ in range(12):
+            state, m = step(state, batch, rng)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0] * 0.7, losses
+        assert np.isfinite(losses).all()
+        assert int(state.step) == 13
+
+    def test_metrics_keys(self):
+        model, cfg = tiny_model()
+        tc = TrainConfig()
+        state = create_train_state(model, tc, jax.random.PRNGKey(0))
+        step = jax.jit(make_train_step(model, tc))
+        batch = synth_batch(np.random.RandomState(1), 1, 128, 4)
+        _, m = step(state, batch, jax.random.PRNGKey(0))
+        for k in ("loss", "cls_loss", "box_loss", "grad_norm", "num_positives"):
+            assert k in m and np.isfinite(float(m[k])), k
+
+    def test_freeze_backbone(self):
+        model, cfg = tiny_model()
+        tc = TrainConfig(freeze_backbone=True)
+        state = create_train_state(model, tc, jax.random.PRNGKey(0))
+        step = jax.jit(make_train_step(model, tc))
+        batch = synth_batch(np.random.RandomState(2), 1, 128, 4)
+        new_state, _ = step(state, batch, jax.random.PRNGKey(0))
+        before = jax.tree.leaves(state.params["backbone"])
+        after = jax.tree.leaves(new_state.params["backbone"])
+        assert all(np.allclose(np.asarray(b), np.asarray(a)) for b, a in zip(before, after))
+        # heads must still move
+        hb = jax.tree.leaves(state.params["class_net"])
+        ha = jax.tree.leaves(new_state.params["class_net"])
+        assert any(not np.allclose(np.asarray(b), np.asarray(a)) for b, a in zip(hb, ha))
+
+
+class TestShardedTrain:
+    def test_eight_device_data_parallel(self):
+        assert jax.device_count() == 8, "conftest must fake 8 CPU devices"
+        mesh = make_mesh()
+        model, cfg = tiny_model()
+        tc = TrainConfig(batch_size=8)
+        state = create_train_state(model, tc, jax.random.PRNGKey(0))
+        state = jax.device_put(
+            state, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        )
+        step = make_sharded_train_step(model, tc, mesh, donate_state=False)
+        batch = shard_batch(synth_batch(np.random.RandomState(0), 8, 128, 4), mesh)
+        new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"]))
+        # params stay replicated
+        leaf = jax.tree.leaves(new_state.params)[0]
+        assert leaf.sharding.is_fully_replicated
+
+    def test_sharded_matches_single_device(self):
+        """Gradient psum over the mesh == big-batch single-device step."""
+        mesh = make_mesh()
+        model, cfg = tiny_model()
+        tc = TrainConfig(batch_size=8)
+        state = create_train_state(model, tc, jax.random.PRNGKey(0))
+        batch = synth_batch(np.random.RandomState(3), 8, 128, 4)
+
+        single = jax.jit(make_train_step(model, tc))
+        s1, m1 = single(state, batch, jax.random.PRNGKey(1))
+
+        state_r = jax.device_put(
+            state, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        )
+        sharded = make_sharded_train_step(model, tc, mesh, donate_state=False)
+        s2, m2 = sharded(state_r, shard_batch(batch, mesh), jax.random.PRNGKey(1))
+        np.testing.assert_allclose(
+            float(m1["loss"]), float(m2["loss"]), rtol=1e-4
+        )
+        p1 = jax.tree.leaves(s1.params)[0]
+        p2 = jax.tree.leaves(s2.params)[0]
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
