@@ -195,15 +195,25 @@ def main(argv=None):
         if val_ds is not None and not args.no_eval and (
             (epoch + 1) % args.eval_every == 0
         ):
-            from efficientdet_tpu.evaluation.voc import evaluate_voc, mean_ap
-
             predict = make_sharded_predict_fn(model, mesh)
             variables = {"params": state.params, "batch_stats": state.batch_stats}
-            aps = evaluate_voc(
-                val_ds, predict, variables, size, batch_size=args.batch_size,
-                max_images=500,
-            )
-            epoch_map = mean_ap(aps)
+            if args.dataset_type == "coco":
+                # reference eval/coco.py Evaluate callback -> COCO AP
+                from efficientdet_tpu.evaluation.coco_eval import evaluate_coco
+
+                stats = evaluate_coco(
+                    val_ds, predict, variables, size,
+                    batch_size=args.batch_size, max_images=500,
+                )
+                epoch_map = stats["AP"]
+            else:
+                from efficientdet_tpu.evaluation.voc import evaluate_voc, mean_ap
+
+                aps = evaluate_voc(
+                    val_ds, predict, variables, size,
+                    batch_size=args.batch_size, max_images=500,
+                )
+                epoch_map = mean_ap(aps)
             epoch_metrics["mAP"] = epoch_map
             print(f"epoch {epoch}: mAP={epoch_map:.4f}", flush=True)
             if epoch_map > best_map:

@@ -1,0 +1,180 @@
+"""Official-checkpoint import tool (SURVEY.md SS2 "Weight conversion").
+
+Maps variables from the official automl/TF EfficientDet (or bare
+EfficientNet) checkpoints onto this framework's Flax parameter tree, for
+mAP-parity validation and ImageNet backbone init once weights are
+obtainable (network egress is blocked in the build environment, so the name
+scheme below is written from knowledge of the public automl code and guarded
+by strict shape checks — any mismatch raises rather than silently
+mis-assigning; re-verify against a real checkpoint when available).
+
+Layout conversions handled:
+* TF dense conv kernels (H, W, I, O) == Flax (H, W, I, O): copied as-is.
+* TF depthwise kernels (H, W, C, 1) -> Flax grouped-conv kernels (H, W, 1, C).
+* TF batch-norm {gamma, beta, moving_mean, moving_variance} ->
+  Flax {scale, bias} params + {mean, var} batch_stats.
+
+Entry points:
+* :func:`backbone_name_map` — our backbone param path -> official TF name.
+* :func:`import_backbone` — apply a {tf_name: ndarray} dict (e.g. loaded via
+  ``np.load`` from a converted archive) onto our variables.
+* :func:`export_tf_style` — inverse mapping (ours -> TF-style dict), used by
+  the round-trip unit test to validate the plumbing offline.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+from efficientdet_tpu.configs import (
+    EFFICIENTNET_B0_BLOCKS,
+    EFFICIENTNET_PARAMS,
+    round_repeats,
+)
+
+
+def _flatten(tree, prefix=()) -> Dict[Tuple[str, ...], np.ndarray]:
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flatten(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = v
+    return out
+
+
+def _unflatten(flat: Dict[Tuple[str, ...], np.ndarray]) -> dict:
+    tree: dict = {}
+    for path, v in flat.items():
+        node = tree
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = v
+    return tree
+
+
+def backbone_name_map(model_name: str = "efficientnet-b0") -> Dict[str, str]:
+    """{our_path: official_tf_name} for backbone params AND batch stats.
+
+    Our paths use '/'-joined keys with a leading 'params/' or 'batch_stats/'
+    collection marker. Official names follow automl's
+    ``efficientnet-bN/blocks_K/...`` scheme with TPU batch norm counters.
+    """
+    _, depth_coeff, _ = EFFICIENTNET_PARAMS[model_name]
+    m: Dict[str, str] = {}
+
+    def bn(our_prefix: str, tf_prefix: str):
+        m[f"params/{our_prefix}/scale"] = f"{tf_prefix}/gamma"
+        m[f"params/{our_prefix}/bias"] = f"{tf_prefix}/beta"
+        m[f"batch_stats/{our_prefix}/mean"] = f"{tf_prefix}/moving_mean"
+        m[f"batch_stats/{our_prefix}/var"] = f"{tf_prefix}/moving_variance"
+
+    root = model_name
+    m["params/stem_conv/kernel"] = f"{root}/stem/conv2d/kernel"
+    bn("stem_bn", f"{root}/stem/tpu_batch_normalization")
+
+    gi = 0  # global block index (automl's blocks_%d counter)
+    for stage_idx, cfg in enumerate(EFFICIENTNET_B0_BLOCKS):
+        repeats = round_repeats(cfg.num_repeat, depth_coeff)
+        for r in range(repeats):
+            ours = f"stage{stage_idx + 1}_block{r}"
+            tf = f"{root}/blocks_{gi}"
+            n_bn = 0
+            if cfg.expand_ratio != 1:
+                m[f"params/{ours}/expand_conv/kernel"] = f"{tf}/conv2d/kernel"
+                bn(f"{ours}/expand_bn", f"{tf}/tpu_batch_normalization")
+                n_bn = 1
+                project_conv = "conv2d_1"
+            else:
+                project_conv = "conv2d"
+            m[f"params/{ours}/depthwise_conv/kernel"] = (
+                f"{tf}/depthwise_conv2d/depthwise_kernel"
+            )
+            bn(
+                f"{ours}/depthwise_bn",
+                f"{tf}/tpu_batch_normalization"
+                + (f"_{n_bn}" if n_bn else ""),
+            )
+            n_bn += 1
+            m[f"params/{ours}/se/reduce/kernel"] = f"{tf}/se/conv2d/kernel"
+            m[f"params/{ours}/se/reduce/bias"] = f"{tf}/se/conv2d/bias"
+            m[f"params/{ours}/se/expand/kernel"] = f"{tf}/se/conv2d_1/kernel"
+            m[f"params/{ours}/se/expand/bias"] = f"{tf}/se/conv2d_1/bias"
+            m[f"params/{ours}/project_conv/kernel"] = f"{tf}/{project_conv}/kernel"
+            bn(f"{ours}/project_bn", f"{tf}/tpu_batch_normalization_{n_bn}")
+            gi += 1
+    return m
+
+
+def _to_flax(name_ours: str, arr: np.ndarray) -> np.ndarray:
+    if name_ours.endswith("depthwise_conv/kernel"):
+        # TF (H, W, C, 1) -> Flax grouped (H, W, 1, C)
+        return np.transpose(arr, (0, 1, 3, 2))
+    return arr
+
+
+def _to_tf(name_ours: str, arr: np.ndarray) -> np.ndarray:
+    if name_ours.endswith("depthwise_conv/kernel"):
+        return np.transpose(arr, (0, 1, 3, 2))
+    return arr
+
+
+def import_backbone(
+    variables: dict, tf_vars: Dict[str, np.ndarray],
+    model_name: str = "efficientnet-b0", backbone_key: str = "backbone",
+    strict: bool = True,
+) -> dict:
+    """Return a copy of ``variables`` with backbone weights replaced.
+
+    ``variables`` is the usual ``{'params': ..., 'batch_stats': ...}``;
+    ``tf_vars`` maps official names -> arrays.
+    """
+    name_map = backbone_name_map(model_name)
+    flat_p = _flatten(variables["params"])  # tuple paths
+    flat_b = _flatten(variables.get("batch_stats", {}))
+    missing = []
+    for ours, tf_name in name_map.items():
+        coll, path = ours.split("/", 1)
+        key = tuple([backbone_key] + path.split("/"))
+        store = flat_p if coll == "params" else flat_b
+        if key not in store:
+            missing.append(("ours", ours))
+            continue
+        if tf_name not in tf_vars:
+            missing.append(("tf", tf_name))
+            continue
+        src = _to_flax(ours, np.asarray(tf_vars[tf_name]))
+        dst = store[key]
+        if tuple(src.shape) != tuple(np.shape(dst)):
+            raise ValueError(
+                f"shape mismatch for {ours} <- {tf_name}: "
+                f"{src.shape} vs {np.shape(dst)}"
+            )
+        store[key] = src.astype(np.asarray(dst).dtype)
+    if missing and strict:
+        raise KeyError(f"unmatched variables ({len(missing)}): {missing[:8]} ...")
+    out = dict(variables)
+    out["params"] = _unflatten(flat_p)
+    if flat_b:
+        out["batch_stats"] = _unflatten(flat_b)
+    return out
+
+
+def export_tf_style(
+    variables: dict, model_name: str = "efficientnet-b0",
+    backbone_key: str = "backbone",
+) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`import_backbone` (round-trip/testing aid)."""
+    name_map = backbone_name_map(model_name)
+    flat_p = _flatten(variables["params"])
+    flat_b = _flatten(variables.get("batch_stats", {}))
+    out = {}
+    for ours, tf_name in name_map.items():
+        coll, path = ours.split("/", 1)
+        key = tuple([backbone_key] + path.split("/"))
+        store = flat_p if coll == "params" else flat_b
+        if key in store:
+            out[tf_name] = _to_tf(ours, np.asarray(store[key]))
+    return out

@@ -1,0 +1,68 @@
+"""Round-trip test for the official-checkpoint import plumbing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from efficientdet_tpu.models.efficientnet import EfficientNet
+from efficientdet_tpu.utils.convert import (
+    backbone_name_map,
+    export_tf_style,
+    import_backbone,
+)
+
+
+def test_backbone_roundtrip_b0():
+    bb = EfficientNet(model_name="efficientnet-b0")
+    variables = jax.tree.map(
+        np.asarray,
+        bb.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))),
+    )
+    wrapped = {
+        "params": {"backbone": variables["params"]},
+        "batch_stats": {"backbone": variables["batch_stats"]},
+    }
+    tf_style = export_tf_style(wrapped)
+    # every mapped name exported, depthwise in TF layout
+    nm = backbone_name_map("efficientnet-b0")
+    assert set(tf_style) == set(nm.values())
+    dw = tf_style["efficientnet-b0/blocks_0/depthwise_conv2d/depthwise_kernel"]
+    assert dw.shape[-1] == 1  # TF depthwise layout (H, W, C, 1)
+
+    # perturb, then re-import and check exact restoration
+    perturbed = {k: v + 1.0 for k, v in tf_style.items()}
+    restored = import_backbone(wrapped, perturbed)
+    got = export_tf_style(restored)
+    for k in tf_style:
+        np.testing.assert_allclose(got[k], tf_style[k] + 1.0, atol=1e-6)
+
+
+def test_import_rejects_bad_shape():
+    bb = EfficientNet(model_name="efficientnet-b0")
+    variables = jax.tree.map(
+        np.asarray, bb.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    )
+    wrapped = {
+        "params": {"backbone": variables["params"]},
+        "batch_stats": {"backbone": variables["batch_stats"]},
+    }
+    tf_style = export_tf_style(wrapped)
+    tf_style["efficientnet-b0/stem/conv2d/kernel"] = np.zeros((1, 1, 1, 1))
+    try:
+        import_backbone(wrapped, tf_style)
+        assert False, "expected shape mismatch"
+    except ValueError as e:
+        assert "shape mismatch" in str(e)
+
+
+def test_block_counter_matches_b1():
+    # B1 doubles some stages via round_repeats; the global blocks_%d counter
+    # must stay dense 0..N-1.
+    nm = backbone_name_map("efficientnet-b1")
+    import re
+
+    idxs = sorted(
+        {int(m.group(1)) for k in nm.values() for m in [re.search(r"blocks_(\d+)/", k)] if m}
+    )
+    assert idxs == list(range(len(idxs)))
+    assert len(idxs) == 23  # B1 total MBConv blocks
