@@ -26,7 +26,7 @@ BASELINE_IMG_S_PER_CHIP = 250.0  # 2000 img/s on 8 chips
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--phi", type=int, default=0)
-    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--batch", type=int, default=128)
     p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
@@ -44,6 +44,11 @@ def main():
 
     rng = jax.random.PRNGKey(0)
     variables = model.init(rng, jnp.zeros((1, size, size, 3)))
+    # Production inference path: BN folded into conv weights (exact).
+    from efficientdet_tpu.models.detector import fuse_for_inference
+
+    model, variables = fuse_for_inference(model, variables)
+    variables = jax.device_put(jax.tree.map(jnp.asarray, variables))
     predict = ed.make_predict_fn(model)
 
     images = jnp.asarray(

@@ -71,6 +71,7 @@ class FusedNode(nn.Module):
     bn_momentum: float = 0.99
     bn_epsilon: float = 1e-3
     dtype: Dtype = jnp.float32
+    fuse_bn: bool = False  # inference-folded variant (utils/fold_bn.py)
 
     @nn.compact
     def __call__(self, inputs: Sequence[jax.Array], use_running_average: bool = True) -> jax.Array:
@@ -92,13 +93,14 @@ class FusedNode(nn.Module):
             x = sum(inputs)
         x = nn.swish(x)
         x = SeparableConv(self.features, dtype=self.dtype, name="conv")(x)
-        x = nn.BatchNorm(
-            use_running_average=use_running_average,
-            momentum=self.bn_momentum,
-            epsilon=self.bn_epsilon,
-            dtype=jnp.float32,
-            name="bn",
-        )(x).astype(self.dtype)
+        if not self.fuse_bn:
+            x = nn.BatchNorm(
+                use_running_average=use_running_average,
+                momentum=self.bn_momentum,
+                epsilon=self.bn_epsilon,
+                dtype=jnp.float32,
+                name="bn",
+            )(x).astype(self.dtype)
         return x
 
 
@@ -111,6 +113,7 @@ class BiFPNLayer(nn.Module):
     bn_momentum: float = 0.99
     bn_epsilon: float = 1e-3
     dtype: Dtype = jnp.float32
+    fuse_bn: bool = False
 
     @nn.compact
     def __call__(
@@ -120,6 +123,8 @@ class BiFPNLayer(nn.Module):
             x = nn.Conv(
                 self.features, (1, 1), dtype=self.dtype, name=f"{name}_conv"
             )(x)
+            if self.fuse_bn:
+                return x
             return nn.BatchNorm(
                 use_running_average=use_running_average,
                 momentum=self.bn_momentum,
@@ -149,6 +154,7 @@ class BiFPNLayer(nn.Module):
                 bn_momentum=self.bn_momentum,
                 bn_epsilon=self.bn_epsilon,
                 dtype=self.dtype,
+                fuse_bn=self.fuse_bn,
                 name=name,
             )
 
@@ -182,6 +188,7 @@ class BiFPN(nn.Module):
     bn_momentum: float = 0.99
     bn_epsilon: float = 1e-3
     dtype: Dtype = jnp.float32
+    fuse_bn: bool = False
 
     @nn.compact
     def __call__(
@@ -195,6 +202,7 @@ class BiFPN(nn.Module):
                 bn_momentum=self.bn_momentum,
                 bn_epsilon=self.bn_epsilon,
                 dtype=self.dtype,
+                fuse_bn=self.fuse_bn,
                 name=f"layer{i}",
             )(feats, use_running_average)
         return list(feats)

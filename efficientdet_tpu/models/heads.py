@@ -49,16 +49,30 @@ class _Head(nn.Module):
     bn_momentum: float = 0.99
     bn_epsilon: float = 1e-3
     dtype: Dtype = jnp.float32
+    # Inference-folded variant: the per-level BN folds into a per-level COPY
+    # of the (train-time shared) pointwise kernel; the depthwise stays
+    # shared. utils/fold_bn.py builds the params.
+    fuse_bn: bool = False
 
     @nn.compact
     def __call__(
         self, feats: Sequence[jax.Array], use_running_average: bool = True
     ) -> jax.Array:
         # Convs constructed once => weights shared across pyramid levels.
-        convs = [
-            SeparableConv(self.width, dtype=self.dtype, name=f"conv{i}")
-            for i in range(self.depth)
-        ]
+        if self.fuse_bn:
+            dws = [
+                nn.Conv(
+                    self.width, (3, 3), padding="SAME",
+                    feature_group_count=self.width, use_bias=False,
+                    dtype=self.dtype, name=f"conv{i}_dw",
+                )
+                for i in range(self.depth)
+            ]
+        else:
+            convs = [
+                SeparableConv(self.width, dtype=self.dtype, name=f"conv{i}")
+                for i in range(self.depth)
+            ]
         final = SeparableConv(
             self.num_outputs * self.num_anchors, dtype=self.dtype, name="final"
         )
@@ -68,14 +82,21 @@ class _Head(nn.Module):
         outputs = []
         for lvl, x in enumerate(feats):
             for i in range(self.depth):
-                x = convs[i](x)
-                x = nn.BatchNorm(
-                    use_running_average=use_running_average,
-                    momentum=self.bn_momentum,
-                    epsilon=self.bn_epsilon,
-                    dtype=jnp.float32,
-                    name=f"bn_l{lvl}_d{i}",
-                )(x).astype(self.dtype)
+                if self.fuse_bn:
+                    x = dws[i](x)
+                    x = nn.Conv(
+                        self.width, (1, 1), use_bias=True, dtype=self.dtype,
+                        name=f"pw_l{lvl}_d{i}",
+                    )(x)
+                else:
+                    x = convs[i](x)
+                    x = nn.BatchNorm(
+                        use_running_average=use_running_average,
+                        momentum=self.bn_momentum,
+                        epsilon=self.bn_epsilon,
+                        dtype=jnp.float32,
+                        name=f"bn_l{lvl}_d{i}",
+                    )(x).astype(self.dtype)
                 x = nn.swish(x)
             x = final(x)
             b, h, w, _ = x.shape
@@ -98,6 +119,7 @@ class ClassNet(nn.Module):
     bn_momentum: float = 0.99
     bn_epsilon: float = 1e-3
     dtype: Dtype = jnp.float32
+    fuse_bn: bool = False
 
     @nn.compact
     def __call__(
@@ -113,6 +135,7 @@ class ClassNet(nn.Module):
             bn_momentum=self.bn_momentum,
             bn_epsilon=self.bn_epsilon,
             dtype=self.dtype,
+            fuse_bn=self.fuse_bn,
             name="net",
         )(feats, use_running_average)
 
@@ -126,6 +149,7 @@ class BoxNet(nn.Module):
     bn_momentum: float = 0.99
     bn_epsilon: float = 1e-3
     dtype: Dtype = jnp.float32
+    fuse_bn: bool = False
 
     @nn.compact
     def __call__(
@@ -140,5 +164,6 @@ class BoxNet(nn.Module):
             bn_momentum=self.bn_momentum,
             bn_epsilon=self.bn_epsilon,
             dtype=self.dtype,
+            fuse_bn=self.fuse_bn,
             name="net",
         )(feats, use_running_average)

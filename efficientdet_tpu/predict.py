@@ -85,12 +85,8 @@ class Predictor:
         import jax
         import jax.numpy as jnp
 
-        from efficientdet_tpu.anchors import (
-            anchors_for_shape,
-            clip_boxes,
-            decode_boxes,
-        )
-        from efficientdet_tpu.ops.nms import filter_detections
+        from efficientdet_tpu.anchors import anchors_for_shape
+        from efficientdet_tpu.ops.nms import filter_detections_from_logits
         from efficientdet_tpu.ops.preprocess import preprocess_image
 
         size = self.config.image_size
@@ -103,12 +99,11 @@ class Predictor:
             cls_logits, box_deltas = self.model.apply(
                 variables, x[None], train=False
             )
-            boxes = decode_boxes(box_deltas[0], anchors)
-            boxes = clip_boxes(boxes, (size, size))
-            scores = jax.nn.sigmoid(cls_logits[0].astype(jnp.float32))
-            b, s, c, n = filter_detections(
-                boxes,
-                scores,
+            b, s, c, n = filter_detections_from_logits(
+                anchors,
+                box_deltas[0],
+                cls_logits[0],
+                (size, size),
                 ec.score_threshold,
                 ec.nms_iou_threshold,
                 ec.max_detections,

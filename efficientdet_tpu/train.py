@@ -70,6 +70,8 @@ def parse_args(argv=None):
         q.add_argument("--reduce-lr-patience", type=int, default=2)
         q.add_argument("--reduce-lr-factor", type=float, default=0.1)
         q.add_argument("--seed", type=int, default=0)
+        q.add_argument("--debug-nans", action="store_true",
+                       help="enable jax_debug_nans (SURVEY.md SS5 sanitizers)")
     return p.parse_args(argv)
 
 
@@ -94,6 +96,9 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     import efficientdet_tpu as ed
     from efficientdet_tpu.configs import TrainConfig
@@ -153,13 +158,6 @@ def main(argv=None):
         shuffle=True, repeat=True, augment=augment, seed=args.seed,
     )
 
-    # Fused normalise happens on-device inside the step: convert images here.
-    from efficientdet_tpu.ops.preprocess import preprocess_batch_fixed
-
-    @jax.jit
-    def normalise(u8):
-        return preprocess_batch_fixed(u8, dtype=jnp.float32)
-
     log_path = args.log_file or os.path.join(args.snapshot_path, "train_log.jsonl")
     os.makedirs(os.path.dirname(log_path) or ".", exist_ok=True)
     logf = open(log_path, "a")
@@ -172,6 +170,7 @@ def main(argv=None):
         agg = {}
         for s in range(steps_per_epoch):
             batch = next(it)
+            # uint8 batch; the jitted step normalises on-device (fused)
             device_batch = shard_batch(
                 {
                     "images": batch["images"],
@@ -180,7 +179,6 @@ def main(argv=None):
                 },
                 mesh,
             )
-            device_batch["images"] = normalise(device_batch["images"])
             state, metrics = step_fn(state, device_batch, step_rng)
             if s % 50 == 0 or s == steps_per_epoch - 1:
                 m = {k: float(v) for k, v in metrics.items()}
@@ -192,6 +190,26 @@ def main(argv=None):
                 agg = m
         # --- epoch end: eval + checkpoint + ReduceLROnPlateau ---
         epoch_metrics = {"loss": agg.get("loss", 0.0)}
+        if args.compute_val_loss and val_ds is not None:
+            from efficientdet_tpu.data.common import batch_iterator as _bit
+            from efficientdet_tpu.train_lib import make_eval_loss_fn
+
+            eval_loss = jax.jit(make_eval_loss_fn(model, tc))
+            vals = []
+            for vb in _bit(val_ds, args.batch_size, target_size=size,
+                           max_gt=args.max_gt, shuffle=False):
+                vbatch = {
+                    "images": jnp.asarray(vb["images"]),
+                    "gt_boxes": jnp.asarray(vb["gt_boxes"]),
+                    "gt_labels": jnp.asarray(vb["gt_labels"]),
+                }
+                vals.append({k: float(v) for k, v in eval_loss(state, vbatch).items()})
+                if len(vals) >= 50:
+                    break
+            if vals:
+                vl = {k: float(np.mean([v[k] for v in vals])) for k in vals[0]}
+                epoch_metrics.update(vl)
+                print(json.dumps({"epoch": epoch, **{k: round(v, 4) for k, v in vl.items()}}), flush=True)
         if val_ds is not None and not args.no_eval and (
             (epoch + 1) % args.eval_every == 0
         ):
@@ -205,6 +223,8 @@ def main(argv=None):
                     val_ds, predict, variables, size,
                     batch_size=args.batch_size, max_images=500,
                 )
+                print(json.dumps({"epoch": epoch, **{k: round(v, 4) for k, v in stats.items()}}), flush=True)
+                logf.write(json.dumps({"epoch": epoch, **stats}) + "\n")
                 epoch_map = stats["AP"]
             else:
                 from efficientdet_tpu.evaluation.voc import evaluate_voc, mean_ap

@@ -28,6 +28,7 @@ from efficientdet_tpu.anchors import anchor_targets_batch, anchors_for_shape
 from efficientdet_tpu.configs import ModelConfig, TrainConfig
 from efficientdet_tpu.losses import detection_loss
 from efficientdet_tpu.models.detector import EfficientDet
+from efficientdet_tpu.ops.preprocess import preprocess_batch_fixed
 
 
 @flax.struct.dataclass
@@ -91,6 +92,44 @@ def create_train_state(
     )
 
 
+def make_eval_loss_fn(
+    model: EfficientDet,
+    config: TrainConfig,
+    image_size: Optional[int] = None,
+):
+    """Pure validation-loss fn (reference --compute-val-loss): same losses,
+    eval-mode forward (running BN stats, no drop-connect), no update."""
+    cfg = model.config
+    size = image_size or cfg.image_size
+    anchors = jnp.asarray(anchors_for_shape((size, size), cfg.anchor))
+
+    def eval_loss(state: TrainState, batch: Dict[str, jax.Array]):
+        cls_t, box_t, state_t = anchor_targets_batch(
+            anchors,
+            batch["gt_boxes"],
+            batch["gt_labels"],
+            cfg.num_classes,
+            config.positive_iou,
+            config.negative_iou,
+        )
+        images = batch["images"]
+        if images.dtype == jnp.uint8:
+            images = preprocess_batch_fixed(images, dtype=jnp.float32)
+        cls_logits, box_preds = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images,
+            train=False,
+        )
+        total, aux = detection_loss(
+            cls_logits, box_preds, cls_t, box_t, state_t,
+            alpha=config.focal_alpha, gamma=config.focal_gamma,
+            sigma=config.huber_sigma,
+        )
+        return {"val_loss": total, **{f"val_{k}": v for k, v in aux.items()}}
+
+    return eval_loss
+
+
 def make_train_step(
     model: EfficientDet,
     config: TrainConfig,
@@ -109,6 +148,10 @@ def make_train_step(
     backbone_frozen = config.freeze_backbone
 
     def loss_fn(params, batch_stats, batch, rng):
+        images = batch["images"]
+        if images.dtype == jnp.uint8:
+            # fused normalise inside the step (north star: one XLA program)
+            images = preprocess_batch_fixed(images, dtype=jnp.float32)
         cls_t, box_t, state_t = anchor_targets_batch(
             anchors,
             batch["gt_boxes"],
@@ -119,7 +162,7 @@ def make_train_step(
         )
         (cls_logits, box_preds), mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            batch["images"],
+            images,
             train=True,
             rngs={"dropout": rng},
             mutable=["batch_stats"],

@@ -108,36 +108,85 @@ def backbone_name_map(model_name: str = "efficientnet-b0") -> Dict[str, str]:
     return m
 
 
+def head_name_map(head: str, depth: int, num_levels: int = 5,
+                  min_level: int = 3) -> Dict[str, str]:
+    """{our_path: official_tf_name} for a ClassNet ('class') or BoxNet ('box').
+
+    automl scheme: ``class_net/class-{i}/{depthwise_kernel,pointwise_kernel,
+    bias}``, per-level BN ``class_net/class-{i}-bn-{level}/...``, and the
+    final conv ``class_net/class-predict/...`` (same with box-). Our final
+    class bias differs by the constant prior shift (heads.py realises the
+    PriorProbability init as a +shift after the conv); import_backbone-style
+    strict shape checks still apply, and the shift adjustment happens in
+    :func:`_to_flax`.
+    """
+    net = f"{head}_net"
+    m: Dict[str, str] = {}
+    our_root = f"{head}_net/net"
+    for i in range(depth):
+        m[f"params/{our_root}/conv{i}/depthwise/kernel"] = (
+            f"{net}/{head}-{i}/depthwise_kernel"
+        )
+        m[f"params/{our_root}/conv{i}/pointwise/kernel"] = (
+            f"{net}/{head}-{i}/pointwise_kernel"
+        )
+        m[f"params/{our_root}/conv{i}/pointwise/bias"] = f"{net}/{head}-{i}/bias"
+        for lvl in range(num_levels):
+            ours = f"{our_root}/bn_l{lvl}_d{i}"
+            tf = f"{net}/{head}-{i}-bn-{min_level + lvl}"
+            m[f"params/{ours}/scale"] = f"{tf}/gamma"
+            m[f"params/{ours}/bias"] = f"{tf}/beta"
+            m[f"batch_stats/{ours}/mean"] = f"{tf}/moving_mean"
+            m[f"batch_stats/{ours}/var"] = f"{tf}/moving_variance"
+    m[f"params/{our_root}/final/depthwise/kernel"] = (
+        f"{net}/{head}-predict/depthwise_kernel"
+    )
+    m[f"params/{our_root}/final/pointwise/kernel"] = (
+        f"{net}/{head}-predict/pointwise_kernel"
+    )
+    m[f"params/{our_root}/final/pointwise/bias"] = f"{net}/{head}-predict/bias"
+    return m
+
+
+_PRIOR_SHIFT = float(np.log(0.01 / 0.99))  # = -log((1-pi)/pi), pi = 0.01
+
+
 def _to_flax(name_ours: str, arr: np.ndarray) -> np.ndarray:
-    if name_ours.endswith("depthwise_conv/kernel"):
+    if name_ours.endswith("depthwise_conv/kernel") or name_ours.endswith(
+        "depthwise/kernel"
+    ):
         # TF (H, W, C, 1) -> Flax grouped (H, W, 1, C)
         return np.transpose(arr, (0, 1, 3, 2))
+    if name_ours.endswith("class_net/net/final/pointwise/bias"):
+        # Our class head adds the prior shift as a constant after the conv.
+        return arr - _PRIOR_SHIFT
     return arr
 
 
 def _to_tf(name_ours: str, arr: np.ndarray) -> np.ndarray:
-    if name_ours.endswith("depthwise_conv/kernel"):
+    if name_ours.endswith("depthwise_conv/kernel") or name_ours.endswith(
+        "depthwise/kernel"
+    ):
         return np.transpose(arr, (0, 1, 3, 2))
+    if name_ours.endswith("class_net/net/final/pointwise/bias"):
+        return arr + _PRIOR_SHIFT
     return arr
 
 
-def import_backbone(
-    variables: dict, tf_vars: Dict[str, np.ndarray],
-    model_name: str = "efficientnet-b0", backbone_key: str = "backbone",
+def _apply_name_map(
+    variables: dict,
+    tf_vars: Dict[str, np.ndarray],
+    name_map: Dict[str, str],
+    prefix: Tuple[str, ...] = (),
     strict: bool = True,
 ) -> dict:
-    """Return a copy of ``variables`` with backbone weights replaced.
-
-    ``variables`` is the usual ``{'params': ..., 'batch_stats': ...}``;
-    ``tf_vars`` maps official names -> arrays.
-    """
-    name_map = backbone_name_map(model_name)
+    """Copy tf_vars onto variables per {our_path: tf_name}, shape-checked."""
     flat_p = _flatten(variables["params"])  # tuple paths
     flat_b = _flatten(variables.get("batch_stats", {}))
     missing = []
     for ours, tf_name in name_map.items():
         coll, path = ours.split("/", 1)
-        key = tuple([backbone_key] + path.split("/"))
+        key = prefix + tuple(path.split("/"))
         store = flat_p if coll == "params" else flat_b
         if key not in store:
             missing.append(("ours", ours))
@@ -160,6 +209,36 @@ def import_backbone(
     if flat_b:
         out["batch_stats"] = _unflatten(flat_b)
     return out
+
+
+def import_backbone(
+    variables: dict, tf_vars: Dict[str, np.ndarray],
+    model_name: str = "efficientnet-b0", backbone_key: str = "backbone",
+    strict: bool = True,
+) -> dict:
+    """Return a copy of ``variables`` with backbone weights replaced.
+
+    ``variables`` is the usual ``{'params': ..., 'batch_stats': ...}``;
+    ``tf_vars`` maps official names -> arrays.
+    """
+    return _apply_name_map(
+        variables, tf_vars, backbone_name_map(model_name),
+        prefix=(backbone_key,), strict=strict,
+    )
+
+
+def import_heads(
+    variables: dict, tf_vars: Dict[str, np.ndarray], head_depth: int,
+    strict: bool = True,
+) -> dict:
+    """Import class_net/box_net weights from an automl-style checkpoint.
+
+    BiFPN import is not yet mapped (the automl ``fpn_cells/...`` scheme needs
+    verification against a real checkpoint once egress exists); backbone +
+    heads cover ImageNet init and head-parity checks.
+    """
+    m = {**head_name_map("class", head_depth), **head_name_map("box", head_depth)}
+    return _apply_name_map(variables, tf_vars, m, prefix=(), strict=strict)
 
 
 def export_tf_style(

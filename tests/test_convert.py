@@ -66,3 +66,44 @@ def test_block_counter_matches_b1():
     )
     assert idxs == list(range(len(idxs)))
     assert len(idxs) == 23  # B1 total MBConv blocks
+
+
+def test_head_name_map_covers_tree():
+    """Every mapped 'ours' path must exist in a real detector param tree."""
+    import dataclasses
+    from efficientdet_tpu.configs import ModelConfig
+    from efficientdet_tpu.models.detector import EfficientDet
+    from efficientdet_tpu.utils.convert import head_name_map, import_heads
+
+    cfg = dataclasses.replace(
+        ModelConfig.for_phi(0, num_classes=6, image_size=128),
+        bifpn_width=16, bifpn_depth=1, head_depth=2,
+    )
+    model = EfficientDet(config=cfg)
+    variables = jax.tree.map(
+        np.asarray, model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+    )
+
+    # build a fake tf checkpoint from the map with correct shapes
+    from efficientdet_tpu.utils.convert import _flatten, _to_tf
+
+    flat_p = _flatten(variables["params"])
+    flat_b = _flatten(variables.get("batch_stats", {}))
+    m = {**head_name_map("class", 2), **head_name_map("box", 2)}
+    tf_vars = {}
+    for ours, tf_name in m.items():
+        coll, path = ours.split("/", 1)
+        key = tuple(path.split("/"))
+        store = flat_p if coll == "params" else flat_b
+        assert key in store, f"unmapped path {ours}"
+        tf_vars[tf_name] = _to_tf(ours, np.asarray(store[key])) + 0.25
+
+    out = import_heads(variables, tf_vars, head_depth=2)
+    # a head depthwise kernel came back transposed+shifted
+    got = out["params"]["class_net"]["net"]["conv0"]["depthwise"]["kernel"]
+    want = variables["params"]["class_net"]["net"]["conv0"]["depthwise"]["kernel"] + 0.25
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # class prior shift handled: final bias round-trips exactly
+    got_b = out["params"]["class_net"]["net"]["final"]["pointwise"]["bias"]
+    want_b = variables["params"]["class_net"]["net"]["final"]["pointwise"]["bias"] + 0.25
+    np.testing.assert_allclose(got_b, want_b, atol=1e-6)

@@ -4,8 +4,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from efficientdet_tpu.anchors import clip_boxes, decode_boxes
 from efficientdet_tpu.configs import EvalConfig
-from efficientdet_tpu.ops.nms import batched_filter_detections, filter_detections
+from efficientdet_tpu.ops.nms import (
+    batched_filter_detections,
+    batched_filter_from_logits,
+    filter_detections,
+    filter_detections_from_logits,
+)
 
 
 def reference_nms(boxes, scores, score_thr=0.01, iou_thr=0.5, max_det=100):
@@ -105,3 +111,49 @@ class TestFilterDetections:
         assert ds.shape == (2, 10)
         assert dc.shape == (2, 10)
         assert dn.shape == (2,)
+
+
+class TestLogitSpaceVariant:
+    """filter_detections_from_logits must equal decode-all + filter_detections."""
+
+    def test_matches_decode_everything(self):
+        rng = np.random.RandomState(3)
+        A, C = 200, 7
+        xy = rng.uniform(0, 100, (A, 2))
+        anchors = jnp.asarray(
+            np.concatenate([xy, xy + rng.uniform(10, 50, (A, 2))], -1),
+            jnp.float32,
+        )
+        deltas = jnp.asarray(0.3 * rng.randn(A, 4), jnp.float32)
+        logits = jnp.asarray(rng.randn(A, C) - 2.0, jnp.float32)
+
+        boxes = clip_boxes(decode_boxes(deltas, anchors), (160, 160))
+        scores = jax.nn.sigmoid(logits)
+        b1, s1, c1, n1 = filter_detections(
+            boxes, scores, max_detections=30, pre_nms_top_k=150
+        )
+        b2, s2, c2, n2 = filter_detections_from_logits(
+            anchors, deltas, logits, (160, 160),
+            max_detections=30, pre_nms_top_k=150,
+        )
+        assert int(n1) == int(n2)
+        k = int(n1)
+        np.testing.assert_allclose(np.asarray(s1)[:k], np.asarray(s2)[:k], atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(c1)[:k], np.asarray(c2)[:k])
+        np.testing.assert_allclose(np.asarray(b1)[:k], np.asarray(b2)[:k], atol=1e-4)
+
+    def test_batched_jit(self):
+        rng = np.random.RandomState(4)
+        B, A, C = 3, 100, 5
+        xy = rng.uniform(0, 80, (A, 2))
+        anchors = jnp.asarray(
+            np.concatenate([xy, xy + rng.uniform(10, 40, (A, 2))], -1), jnp.float32
+        )
+        deltas = jnp.asarray(0.2 * rng.randn(B, A, 4), jnp.float32)
+        logits = jnp.asarray(rng.randn(B, A, C), jnp.float32)
+        cfg = EvalConfig(max_detections=10, pre_nms_top_k=64)
+        fn = jax.jit(
+            lambda d, l: batched_filter_from_logits(anchors, d, l, (128, 128), cfg)
+        )
+        b, s, c, n = fn(deltas, logits)
+        assert b.shape == (3, 10, 4) and n.shape == (3,)
