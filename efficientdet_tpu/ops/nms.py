@@ -187,13 +187,17 @@ def filter_detections_from_logits(
     from efficientdet_tpu.anchors import clip_boxes, decode_boxes
 
     num_anchors, num_classes = cls_logits.shape
-    logits = cls_logits.astype(jnp.float32)
     logit_thr = float(np.log(score_threshold / (1.0 - score_threshold)))
 
+    # Stay in the model dtype (bf16) through the max + gather — casting the
+    # full (A, C) tensor to f32 first materialises gigabytes at batch scale
+    # (measured ~2x NMS cost at batch 128). f32 only from the (K, C) slice on.
     k_anchor = min(pre_nms_top_k, num_anchors)
-    anchor_best = jnp.max(logits, axis=1)
+    anchor_best = jnp.max(cls_logits, axis=1).astype(jnp.float32)
     _, top_anchor = jax.lax.top_k(anchor_best, k_anchor)
-    cand_logits = jnp.take(logits, top_anchor, axis=0)  # (Ka, C)
+    cand_logits = jnp.take(cls_logits, top_anchor, axis=0).astype(
+        jnp.float32
+    )  # (Ka, C)
     cand_anchors = jnp.take(anchors.astype(jnp.float32), top_anchor, axis=0)
     cand_deltas = jnp.take(box_deltas.astype(jnp.float32), top_anchor, axis=0)
     cand_boxes_a = clip_boxes(decode_boxes(cand_deltas, cand_anchors), image_hw)
