@@ -219,4 +219,6 @@ class EvalConfig:
     score_threshold: float = 0.01
     nms_iou_threshold: float = 0.5
     max_detections: int = 100
-    pre_nms_top_k: int = 1000
+    # 1024 (not the customary 1000): multiple of the 128-lane TPU tile, which
+    # both the Pallas suppression kernel and XLA's top_k prefer.
+    pre_nms_top_k: int = 1024

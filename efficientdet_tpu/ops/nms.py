@@ -169,7 +169,7 @@ def filter_detections_from_logits(
     score_threshold: float = 0.01,
     nms_iou_threshold: float = 0.5,
     max_detections: int = 100,
-    pre_nms_top_k: int = 1000,
+    pre_nms_top_k: int = 1024,
 ):
     """Late-decode variant for one image: selection happens in LOGIT space.
 
@@ -245,14 +245,85 @@ def batched_filter_from_logits(
     cls_logits: jax.Array,
     image_hw: Tuple[int, int],
     config: EvalConfig = EvalConfig(),
+    use_pallas: bool | None = None,
 ):
-    """vmap of :func:`filter_detections_from_logits` over the batch."""
-    fn = functools.partial(
-        filter_detections_from_logits,
-        image_hw=image_hw,
-        score_threshold=config.score_threshold,
-        nms_iou_threshold=config.nms_iou_threshold,
-        max_detections=config.max_detections,
-        pre_nms_top_k=config.pre_nms_top_k,
+    """Natively-batched logit-space NMS (the production inference path).
+
+    Same semantics as vmapping :func:`filter_detections_from_logits`; the
+    suppression stage runs as the fused Pallas kernel
+    (ops/nms_pallas.py) on TPU backends (``use_pallas=None`` auto-detects),
+    falling back to the XLA fixpoint elsewhere.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    bsz, num_anchors, num_classes = cls_logits.shape
+    logit_thr = float(np.log(config.score_threshold / (1.0 - config.score_threshold)))
+    anchors = anchors.astype(jnp.float32)
+
+    k_anchor = min(config.pre_nms_top_k, num_anchors)
+    anchor_best = jnp.max(cls_logits, axis=2).astype(jnp.float32)  # (B, A)
+    _, top_anchor = jax.lax.top_k(anchor_best, k_anchor)  # (B, Ka)
+    cand_logits = jnp.take_along_axis(
+        cls_logits, top_anchor[..., None], axis=1
+    ).astype(jnp.float32)  # (B, Ka, C)
+    cand_anchors = jnp.take(anchors, top_anchor, axis=0)  # (B, Ka, 4)
+    cand_deltas = jnp.take_along_axis(
+        box_deltas.astype(jnp.float32), top_anchor[..., None], axis=1
     )
-    return jax.vmap(fn, in_axes=(None, 0, 0))(anchors, box_deltas, cls_logits)
+    from efficientdet_tpu.anchors import clip_boxes, decode_boxes
+
+    cand_boxes_a = clip_boxes(decode_boxes(cand_deltas, cand_anchors), image_hw)
+
+    k = min(config.pre_nms_top_k, k_anchor * num_classes)
+    flat = cand_logits.reshape(bsz, -1)
+    flat = jnp.where(flat > logit_thr, flat, _NEG_INF)
+    top_logits, top_idx = jax.lax.top_k(flat, k)  # (B, K)
+    pair_anchor = top_idx // num_classes
+    pair_class = (top_idx % num_classes).astype(jnp.int32)
+    cand_boxes = jnp.take_along_axis(
+        cand_boxes_a, pair_anchor[..., None], axis=1
+    )  # (B, K, 4)
+    valid = top_logits > _NEG_INF / 2
+
+    if use_pallas:
+        from efficientdet_tpu.ops.nms_pallas import suppression_keep_mask
+
+        keep = suppression_keep_mask(
+            cand_boxes, pair_class, valid, config.nms_iou_threshold
+        )
+    else:
+        def one(bx, cl, va):
+            ious = iou_matrix(bx, bx)
+            same = cl[:, None] == cl[None, :]
+            tri = (
+                jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+                < jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+            )
+            return _fixpoint_suppress(
+                (ious > config.nms_iou_threshold) & same & tri, va
+            )
+
+        keep = jax.vmap(one)(cand_boxes, pair_class, valid)
+
+    kept_logits = jnp.where(keep, top_logits, _NEG_INF)
+    n_out = min(config.max_detections, k)
+    det_logits, det_idx = jax.lax.top_k(kept_logits, n_out)
+    if n_out < config.max_detections:
+        pad = config.max_detections - n_out
+        det_logits = jnp.pad(det_logits, ((0, 0), (0, pad)), constant_values=_NEG_INF)
+        det_idx = jnp.pad(det_idx, ((0, 0), (0, pad)))
+    det_valid = det_logits > _NEG_INF / 2
+    det_boxes = jnp.where(
+        det_valid[..., None],
+        jnp.take_along_axis(cand_boxes, det_idx[..., None], axis=1),
+        0.0,
+    )
+    det_classes = jnp.where(
+        det_valid,
+        jnp.take_along_axis(pair_class, det_idx, axis=1),
+        jnp.int32(-1),
+    )
+    det_scores = jnp.where(det_valid, jax.nn.sigmoid(det_logits), -1.0)
+    num_valid = jnp.sum(det_valid.astype(jnp.int32), axis=1)
+    return det_boxes, det_scores, det_classes, num_valid

@@ -98,14 +98,28 @@ def make_sharded_predict_fn(
     Images shard over ``data``; every device runs preprocess -> forward ->
     decode -> NMS on its sub-batch; outputs stay sharded (callers gather with
     ``jax.device_get`` which performs the all-gather implicitly).
-    """
-    data = data_sharding(mesh)
 
-    @jax.jit
-    def predict(variables, images):
-        images = jax.lax.with_sharding_constraint(images, data)
+    The body runs under ``shard_map`` (not bare pjit) so the Pallas NMS
+    suppression kernel — a custom call XLA cannot auto-partition — executes
+    per device on its local sub-batch. Predict has no cross-device
+    communication at all, so shard_map costs nothing.
+    """
+
+    def local(variables, images):
         return predict_pipeline(
             model, variables, images, eval_config, preprocess=preprocess
         )
+
+    shmapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def predict(variables, images):
+        return shmapped(variables, images)
 
     return predict

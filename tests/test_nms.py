@@ -157,3 +157,37 @@ class TestLogitSpaceVariant:
         )
         b, s, c, n = fn(deltas, logits)
         assert b.shape == (3, 10, 4) and n.shape == (3,)
+
+
+class TestBatchedFromLogits:
+    def test_matches_per_image_reference(self):
+        rng = np.random.RandomState(9)
+        B, A, C = 3, 300, 6
+        xy = rng.uniform(0, 100, (A, 2))
+        anchors = jnp.asarray(
+            np.concatenate([xy, xy + rng.uniform(10, 50, (A, 2))], -1), jnp.float32
+        )
+        deltas = jnp.asarray(0.2 * rng.randn(B, A, 4), jnp.float32)
+        logits = jnp.asarray(rng.randn(B, A, C) - 1.0, jnp.float32)
+        cfg = EvalConfig(max_detections=25, pre_nms_top_k=256)
+
+        got = batched_filter_from_logits(
+            anchors, deltas, logits, (160, 160), cfg, use_pallas=False
+        )
+        for i in range(B):
+            want = filter_detections_from_logits(
+                anchors, deltas[i], logits[i], (160, 160),
+                cfg.score_threshold, cfg.nms_iou_threshold,
+                cfg.max_detections, cfg.pre_nms_top_k,
+            )
+            assert int(got[3][i]) == int(want[3])
+            n = int(want[3])
+            np.testing.assert_allclose(
+                np.asarray(got[1][i])[:n], np.asarray(want[1])[:n], atol=1e-6
+            )
+            np.testing.assert_array_equal(
+                np.asarray(got[2][i])[:n], np.asarray(want[2])[:n]
+            )
+            np.testing.assert_allclose(
+                np.asarray(got[0][i])[:n], np.asarray(want[0])[:n], atol=1e-4
+            )
