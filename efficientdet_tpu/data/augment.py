@@ -191,6 +191,56 @@ def random_visual_effect(
 
 
 # ---------------------------------------------------------------------------
+# Misc crop / expand (reference augmentor/misc.py)
+# ---------------------------------------------------------------------------
+
+
+def random_crop(
+    rng: np.random.RandomState,
+    image: np.ndarray,
+    boxes: np.ndarray,
+    min_fraction: float = 0.6,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Random crop keeping at least ``min_fraction`` of each side.
+
+    Boxes are shifted into crop coordinates; ``batch_iterator`` re-filters
+    degenerate boxes afterwards, matching the reference's crop semantics.
+    """
+    h, w = image.shape[:2]
+    ch = int(h * rng.uniform(min_fraction, 1.0))
+    cw = int(w * rng.uniform(min_fraction, 1.0))
+    y0 = rng.randint(0, h - ch + 1)
+    x0 = rng.randint(0, w - cw + 1)
+    out = image[y0 : y0 + ch, x0 : x0 + cw]
+    if len(boxes):
+        boxes = boxes.copy()
+        boxes[:, [0, 2]] -= x0
+        boxes[:, [1, 3]] -= y0
+    return out, boxes
+
+
+def random_expand(
+    rng: np.random.RandomState,
+    image: np.ndarray,
+    boxes: np.ndarray,
+    max_ratio: float = 1.5,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad the image into a larger canvas at a random offset (zoom-out)."""
+    h, w = image.shape[:2]
+    ratio = rng.uniform(1.0, max_ratio)
+    nh, nw = int(h * ratio), int(w * ratio)
+    y0 = rng.randint(0, nh - h + 1)
+    x0 = rng.randint(0, nw - w + 1)
+    canvas = np.zeros((nh, nw, 3), image.dtype)
+    canvas[y0 : y0 + h, x0 : x0 + w] = image
+    if len(boxes):
+        boxes = boxes.copy()
+        boxes[:, [0, 2]] += x0
+        boxes[:, [1, 3]] += y0
+    return canvas, boxes
+
+
+# ---------------------------------------------------------------------------
 # Composite augmenter for batch_iterator
 # ---------------------------------------------------------------------------
 
@@ -198,13 +248,20 @@ def random_visual_effect(
 def make_augmenter(
     transform_config: Optional[TransformConfig] = TransformConfig(),
     visual: bool = True,
+    crop_chance: float = 0.0,
+    expand_chance: float = 0.0,
 ) -> Callable:
     """(rng, image, boxes) -> (image, boxes): the reference's
-    ``--random-transform`` path."""
+    ``--random-transform`` path (affine + color), plus optional crop/expand
+    (reference augmentor/misc.py, off by default like the reference CLI)."""
 
     def augment(rng: np.random.RandomState, image: np.ndarray, boxes: np.ndarray):
         if visual:
             image = random_visual_effect(rng, image)
+        if crop_chance > 0 and rng.uniform() < crop_chance:
+            image, boxes = random_crop(rng, image, boxes)
+        elif expand_chance > 0 and rng.uniform() < expand_chance:
+            image, boxes = random_expand(rng, image, boxes)
         if transform_config is not None:
             m = random_transform_matrix(rng, image.shape[:2], transform_config)
             image, boxes = apply_transform(m, image, boxes)

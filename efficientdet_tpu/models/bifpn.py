@@ -42,6 +42,7 @@ class SeparableConv(nn.Module):
     kernel_size: int = 3
     use_bias: bool = True
     dtype: Dtype = jnp.float32
+    bias_init: Any = nn.initializers.zeros
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -57,6 +58,7 @@ class SeparableConv(nn.Module):
         )(x)
         x = nn.Conv(
             self.features, (1, 1), use_bias=self.use_bias, dtype=self.dtype,
+            bias_init=self.bias_init,
             name="pointwise",
         )(x)
         return x

@@ -45,7 +45,7 @@ class _Head(nn.Module):
     depth: int
     num_outputs: int  # per-anchor outputs of the final conv
     num_anchors: int
-    final_bias_init: Any
+    final_bias_init: Any  # flax bias initializer for the final pointwise
     bn_momentum: float = 0.99
     bn_epsilon: float = 1e-3
     dtype: Dtype = jnp.float32
@@ -74,11 +74,10 @@ class _Head(nn.Module):
                 for i in range(self.depth)
             ]
         final = SeparableConv(
-            self.num_outputs * self.num_anchors, dtype=self.dtype, name="final"
+            self.num_outputs * self.num_anchors, dtype=self.dtype,
+            bias_init=self.final_bias_init or nn.initializers.zeros,
+            name="final",
         )
-        # The prior-probability bias init is realised as a constant logit
-        # shift added after the final conv (bias starts at zero): identical
-        # function and gradients to initialising the bias itself.
         outputs = []
         for lvl, x in enumerate(feats):
             for i in range(self.depth):
@@ -101,11 +100,7 @@ class _Head(nn.Module):
             x = final(x)
             b, h, w, _ = x.shape
             outputs.append(x.reshape(b, h * w * self.num_anchors, self.num_outputs))
-        out = jnp.concatenate(outputs, axis=1)  # (B, A_total, num_outputs)
-        if self.final_bias_init is not None:
-            # Constant logit shift equivalent to PriorProbability bias init.
-            out = out + jnp.asarray(self.final_bias_init, out.dtype)
-        return out
+        return jnp.concatenate(outputs, axis=1)  # (B, A_total, num_outputs)
 
 
 class ClassNet(nn.Module):
@@ -125,13 +120,12 @@ class ClassNet(nn.Module):
     def __call__(
         self, feats: Sequence[jax.Array], use_running_average: bool = True
     ) -> jax.Array:
-        shift = -math.log((1.0 - self.prior) / self.prior)
         return _Head(
             width=self.width,
             depth=self.depth,
             num_outputs=self.num_classes,
             num_anchors=self.num_anchors,
-            final_bias_init=shift,
+            final_bias_init=prior_prob_bias(self.prior),
             bn_momentum=self.bn_momentum,
             bn_epsilon=self.bn_epsilon,
             dtype=self.dtype,

@@ -261,12 +261,15 @@ def batched_filter_from_logits(
     logit_thr = float(np.log(config.score_threshold / (1.0 - config.score_threshold)))
     anchors = anchors.astype(jnp.float32)
 
+    # All sorts run on the model dtype (bf16 on TPU): the logits ARE bf16,
+    # so f32 sort keys add zero information but double the sort bandwidth —
+    # and XLA lowers top_k as a full sort, the NMS profile's top cost.
     k_anchor = min(config.pre_nms_top_k, num_anchors)
-    anchor_best = jnp.max(cls_logits, axis=2).astype(jnp.float32)  # (B, A)
+    anchor_best = jnp.max(cls_logits, axis=2)  # (B, A) model dtype
     _, top_anchor = jax.lax.top_k(anchor_best, k_anchor)  # (B, Ka)
     cand_logits = jnp.take_along_axis(
         cls_logits, top_anchor[..., None], axis=1
-    ).astype(jnp.float32)  # (B, Ka, C)
+    )  # (B, Ka, C) model dtype
     cand_anchors = jnp.take(anchors, top_anchor, axis=0)  # (B, Ka, 4)
     cand_deltas = jnp.take_along_axis(
         box_deltas.astype(jnp.float32), top_anchor[..., None], axis=1
@@ -277,8 +280,9 @@ def batched_filter_from_logits(
 
     k = min(config.pre_nms_top_k, k_anchor * num_classes)
     flat = cand_logits.reshape(bsz, -1)
-    flat = jnp.where(flat > logit_thr, flat, _NEG_INF)
+    flat = jnp.where(flat > logit_thr, flat, jnp.asarray(_NEG_INF, flat.dtype))
     top_logits, top_idx = jax.lax.top_k(flat, k)  # (B, K)
+    top_logits = top_logits.astype(jnp.float32)
     pair_anchor = top_idx // num_classes
     pair_class = (top_idx % num_classes).astype(jnp.int32)
     cand_boxes = jnp.take_along_axis(

@@ -114,11 +114,9 @@ def head_name_map(head: str, depth: int, num_levels: int = 5,
 
     automl scheme: ``class_net/class-{i}/{depthwise_kernel,pointwise_kernel,
     bias}``, per-level BN ``class_net/class-{i}-bn-{level}/...``, and the
-    final conv ``class_net/class-predict/...`` (same with box-). Our final
-    class bias differs by the constant prior shift (heads.py realises the
-    PriorProbability init as a +shift after the conv); import_backbone-style
-    strict shape checks still apply, and the shift adjustment happens in
-    :func:`_to_flax`.
+    final conv ``class_net/class-predict/...`` (same with box-). Bias and
+    kernel conventions match directly (the prior-probability init is a real
+    bias init on our side too).
     """
     net = f"{head}_net"
     m: Dict[str, str] = {}
@@ -148,18 +146,12 @@ def head_name_map(head: str, depth: int, num_levels: int = 5,
     return m
 
 
-_PRIOR_SHIFT = float(np.log(0.01 / 0.99))  # = -log((1-pi)/pi), pi = 0.01
-
-
 def _to_flax(name_ours: str, arr: np.ndarray) -> np.ndarray:
     if name_ours.endswith("depthwise_conv/kernel") or name_ours.endswith(
         "depthwise/kernel"
     ):
         # TF (H, W, C, 1) -> Flax grouped (H, W, 1, C)
         return np.transpose(arr, (0, 1, 3, 2))
-    if name_ours.endswith("class_net/net/final/pointwise/bias"):
-        # Our class head adds the prior shift as a constant after the conv.
-        return arr - _PRIOR_SHIFT
     return arr
 
 
@@ -168,8 +160,6 @@ def _to_tf(name_ours: str, arr: np.ndarray) -> np.ndarray:
         "depthwise/kernel"
     ):
         return np.transpose(arr, (0, 1, 3, 2))
-    if name_ours.endswith("class_net/net/final/pointwise/bias"):
-        return arr + _PRIOR_SHIFT
     return arr
 
 

@@ -201,3 +201,40 @@ class TestPascalDataset:
         ds = PascalVocDataset(voc_dir, "trainval", skip_difficult=True)
         boxes, _ = ds.load_annotations(0)
         assert len(boxes) == 1
+
+
+class TestMiscAugment:
+    def test_random_crop_shifts_boxes(self):
+        from efficientdet_tpu.data.augment import random_crop
+
+        rng = np.random.RandomState(0)
+        img = np.arange(100 * 100 * 3, dtype=np.uint8).reshape(100, 100, 3)
+        boxes = np.asarray([[20.0, 30.0, 60.0, 70.0]], np.float32)
+        out, b = random_crop(rng, img, boxes)
+        assert out.shape[0] <= 100 and out.shape[1] <= 100
+        assert out.shape[0] >= 60
+        # box width/height preserved (only translated)
+        np.testing.assert_allclose(b[:, 2] - b[:, 0], 40.0)
+        np.testing.assert_allclose(b[:, 3] - b[:, 1], 40.0)
+
+    def test_random_expand_keeps_content(self):
+        from efficientdet_tpu.data.augment import random_expand
+
+        rng = np.random.RandomState(1)
+        img = np.full((50, 50, 3), 77, np.uint8)
+        boxes = np.asarray([[10.0, 10.0, 30.0, 30.0]], np.float32)
+        out, b = random_expand(rng, img, boxes)
+        assert out.shape[0] >= 50 and out.shape[1] >= 50
+        x0 = int(b[0, 0] - 10)
+        y0 = int(b[0, 1] - 10)
+        np.testing.assert_array_equal(out[y0:y0+50, x0:x0+50], img)
+
+    def test_augmenter_with_crop(self):
+        from efficientdet_tpu.data.augment import make_augmenter
+
+        rng = np.random.RandomState(2)
+        aug = make_augmenter(crop_chance=1.0)
+        img = np.random.randint(0, 255, (80, 80, 3), np.uint8)
+        boxes = np.asarray([[10, 10, 40, 40]], np.float32)
+        img2, b2 = aug(rng, img, boxes)
+        assert img2.ndim == 3 and b2.shape == (1, 4)
