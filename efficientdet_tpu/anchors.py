@@ -20,7 +20,7 @@ bbox_transform). All boxes are ``[x1, y1, x2, y2]`` in pixels.
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

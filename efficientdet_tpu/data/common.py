@@ -19,7 +19,7 @@ and degenerate boxes (x2<=x1, y2<=y1) dropped.
 from __future__ import annotations
 
 import abc
-from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, Iterator, Optional, Tuple
 
 import numpy as np
 

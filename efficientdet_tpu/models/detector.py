@@ -15,19 +15,17 @@ same params:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from efficientdet_tpu.anchors import anchors_for_shape, clip_boxes, decode_boxes
+from efficientdet_tpu.anchors import anchors_for_shape
 from efficientdet_tpu.configs import EvalConfig, ModelConfig
 from efficientdet_tpu.models.bifpn import BiFPN
 from efficientdet_tpu.models.efficientnet import EfficientNet
 from efficientdet_tpu.models.heads import BoxNet, ClassNet
-from efficientdet_tpu.ops.nms import batched_filter_detections
 from efficientdet_tpu.ops.preprocess import preprocess_batch_fixed
 
 Dtype = Any
@@ -44,9 +42,17 @@ class EfficientDet(nn.Module):
 
     @nn.compact
     def __call__(
-        self, images: jax.Array, train: bool = False
+        self,
+        images: jax.Array,
+        train: bool = False,
+        return_raw_levels: bool = False,
     ) -> Tuple[jax.Array, jax.Array]:
-        """images (B, S, S, 3) normalised -> (cls_logits (B,A,C), box (B,A,4))."""
+        """images (B, S, S, 3) normalised -> (cls_logits (B,A,C), box (B,A,4)).
+
+        With ``return_raw_levels`` the heads return per-level NHWC conv
+        outputs instead (lists of (B,H,W,A*C) / (B,H,W,A*4)) — the fast
+        inference path consumes these without the anchor-major reshape.
+        """
         cfg = self.config
         # freeze_bn: BN always uses running stats (reference freeze_bn flag).
         ura = (not train) or cfg.freeze_bn
@@ -81,7 +87,7 @@ class EfficientDet(nn.Module):
             dtype=self.dtype,
             fuse_bn=self.fuse_bn,
             name="class_net",
-        )(feats, use_running_average=ura)
+        )(feats, use_running_average=ura, return_raw_levels=return_raw_levels)
         box_deltas = BoxNet(
             width=cfg.bifpn_width,
             depth=cfg.head_depth,
@@ -91,7 +97,7 @@ class EfficientDet(nn.Module):
             dtype=self.dtype,
             fuse_bn=self.fuse_bn,
             name="box_net",
-        )(feats, use_running_average=ura)
+        )(feats, use_running_average=ura, return_raw_levels=return_raw_levels)
         return cls_logits, box_deltas
 
 
@@ -140,24 +146,40 @@ def predict_pipeline(
     images: jax.Array,
     eval_config: EvalConfig = EvalConfig(),
     preprocess: bool = True,
+    per_level: bool = False,
 ):
     """Full on-device prediction: [normalise ->] forward -> decode -> NMS.
 
     Args:
       images: (B, S, S, 3); raw RGB [0,255] if ``preprocess`` else already
         normalised.
+      per_level: consume raw per-level head outputs, skipping the
+        anchor-major reshape/concat. Semantically identical (tested) but
+        measured 15x SLOWER on v5e: the per-candidate 90-wide gathers from
+        conv-layout tensors lower to unaligned TPU gathers that dwarf the
+        ~10 ms/step concat they avoid. Kept for documentation/future Pallas
+        gather work; default off.
     Returns (boxes (B,D,4), scores (B,D), classes (B,D), num_valid (B,)).
     """
     cfg = model.config
     size = images.shape[1]
     if preprocess:
         images = preprocess_batch_fixed(images, dtype=model.dtype)
-    cls_logits, box_deltas = model.apply(variables, images, train=False)
     anchors = jnp.asarray(anchors_for_shape((size, size), cfg.anchor))
     # Late-decode NMS: selection in logit space, decode only the candidates
-    # (exact; see ops/nms.py filter_detections_from_logits).
+    # (exact; see ops/nms.py).
+    if per_level:
+        from efficientdet_tpu.ops.nms import batched_filter_from_level_logits
+
+        cls_levels, box_levels = model.apply(
+            variables, images, train=False, return_raw_levels=True
+        )
+        return batched_filter_from_level_logits(
+            anchors, box_levels, cls_levels, (size, size), eval_config
+        )
     from efficientdet_tpu.ops.nms import batched_filter_from_logits
 
+    cls_logits, box_deltas = model.apply(variables, images, train=False)
     return batched_filter_from_logits(
         anchors, box_deltas, cls_logits, (size, size), eval_config
     )

@@ -15,7 +15,7 @@ the detector only consumes C3..C5 (the reference likewise discards it).
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax

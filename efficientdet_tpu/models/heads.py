@@ -17,7 +17,7 @@ wiring is unit-tested (tests/test_models.py).
 from __future__ import annotations
 
 import math
-from typing import Any, List, Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -56,7 +56,10 @@ class _Head(nn.Module):
 
     @nn.compact
     def __call__(
-        self, feats: Sequence[jax.Array], use_running_average: bool = True
+        self,
+        feats: Sequence[jax.Array],
+        use_running_average: bool = True,
+        return_raw_levels: bool = False,
     ) -> jax.Array:
         # Convs constructed once => weights shared across pyramid levels.
         if self.fuse_bn:
@@ -98,8 +101,16 @@ class _Head(nn.Module):
                     )(x).astype(self.dtype)
                 x = nn.swish(x)
             x = final(x)
+            if return_raw_levels:
+                outputs.append(x)  # (B, H, W, A*num_outputs) conv layout
+                continue
             b, h, w, _ = x.shape
             outputs.append(x.reshape(b, h * w * self.num_anchors, self.num_outputs))
+        if return_raw_levels:
+            # NHWC conv layout, no anchor-major reshape: the per-level NMS
+            # prefilter consumes this directly (the reshape+concat to
+            # (B, A, C) cost ~10 ms/step at D0/b128 per the device trace).
+            return outputs
         return jnp.concatenate(outputs, axis=1)  # (B, A_total, num_outputs)
 
 
@@ -118,7 +129,10 @@ class ClassNet(nn.Module):
 
     @nn.compact
     def __call__(
-        self, feats: Sequence[jax.Array], use_running_average: bool = True
+        self,
+        feats: Sequence[jax.Array],
+        use_running_average: bool = True,
+        return_raw_levels: bool = False,
     ) -> jax.Array:
         return _Head(
             width=self.width,
@@ -131,7 +145,7 @@ class ClassNet(nn.Module):
             dtype=self.dtype,
             fuse_bn=self.fuse_bn,
             name="net",
-        )(feats, use_running_average)
+        )(feats, use_running_average, return_raw_levels)
 
 
 class BoxNet(nn.Module):
@@ -147,7 +161,10 @@ class BoxNet(nn.Module):
 
     @nn.compact
     def __call__(
-        self, feats: Sequence[jax.Array], use_running_average: bool = True
+        self,
+        feats: Sequence[jax.Array],
+        use_running_average: bool = True,
+        return_raw_levels: bool = False,
     ) -> jax.Array:
         return _Head(
             width=self.width,
@@ -160,4 +177,4 @@ class BoxNet(nn.Module):
             dtype=self.dtype,
             fuse_bn=self.fuse_bn,
             name="net",
-        )(feats, use_running_average)
+        )(feats, use_running_average, return_raw_levels)

@@ -258,7 +258,6 @@ def batched_filter_from_logits(
         use_pallas = jax.default_backend() == "tpu"
 
     bsz, num_anchors, num_classes = cls_logits.shape
-    logit_thr = float(np.log(config.score_threshold / (1.0 - config.score_threshold)))
     anchors = anchors.astype(jnp.float32)
 
     # All sorts run on the model dtype (bf16 on TPU): the logits ARE bf16,
@@ -277,14 +276,48 @@ def batched_filter_from_logits(
     from efficientdet_tpu.anchors import clip_boxes, decode_boxes
 
     cand_boxes_a = clip_boxes(decode_boxes(cand_deltas, cand_anchors), image_hw)
+    return _pairs_and_suppress(
+        cand_logits, cand_boxes_a, num_classes, config, use_pallas
+    )
 
-    k = min(config.pre_nms_top_k, k_anchor * num_classes)
-    flat = cand_logits.reshape(bsz, -1)
+
+def _pairs_and_suppress(
+    cand_logits: jax.Array,
+    cand_boxes_a: jax.Array,
+    num_classes: int,
+    config: EvalConfig,
+    use_pallas: bool,
+):
+    """Shared NMS tail: pair selection -> suppression -> final top-k.
+
+    cand_logits: (B, Ka, C) model dtype; cand_boxes_a: (B, Ka, 4) f32
+    decoded+clipped candidate-anchor boxes.
+    """
+    bsz, k_anchor, _ = cand_logits.shape
+    logit_thr = float(
+        np.log(config.score_threshold / (1.0 - config.score_threshold))
+    )
+
+    # Per-anchor class cap: a row sort over C beats the flat K*C sort by ~3x
+    # (see EvalConfig.per_anchor_top_c).
+    c_keep = min(config.per_anchor_top_c, num_classes)
+    if c_keep < num_classes:
+        keep_vals, keep_cls = jax.lax.top_k(cand_logits, c_keep)  # (B,Ka,C')
+    else:
+        keep_vals = cand_logits
+        keep_cls = jnp.broadcast_to(
+            jnp.arange(num_classes, dtype=jnp.int32),
+            cand_logits.shape,
+        )
+    k = min(config.pre_nms_top_k, k_anchor * c_keep)
+    flat = keep_vals.reshape(bsz, -1)
     flat = jnp.where(flat > logit_thr, flat, jnp.asarray(_NEG_INF, flat.dtype))
     top_logits, top_idx = jax.lax.top_k(flat, k)  # (B, K)
     top_logits = top_logits.astype(jnp.float32)
-    pair_anchor = top_idx // num_classes
-    pair_class = (top_idx % num_classes).astype(jnp.int32)
+    pair_anchor = top_idx // c_keep
+    pair_class = jnp.take_along_axis(
+        keep_cls.reshape(bsz, -1), top_idx, axis=1
+    ).astype(jnp.int32)
     cand_boxes = jnp.take_along_axis(
         cand_boxes_a, pair_anchor[..., None], axis=1
     )  # (B, K, 4)
@@ -331,3 +364,90 @@ def batched_filter_from_logits(
     det_scores = jnp.where(det_valid, jax.nn.sigmoid(det_logits), -1.0)
     num_valid = jnp.sum(det_valid.astype(jnp.int32), axis=1)
     return det_boxes, det_scores, det_classes, num_valid
+
+
+def batched_filter_from_level_logits(
+    anchors: jax.Array,
+    box_levels,
+    cls_levels,
+    image_hw: Tuple[int, int],
+    config: EvalConfig = EvalConfig(),
+    use_pallas: bool | None = None,
+):
+    """Per-level NMS front-end consuming raw NHWC head outputs.
+
+    Takes the heads' per-level conv-layout tensors (lists of
+    (B, Hl, Wl, A*C) logits and (B, Hl, Wl, A*4) deltas) and never
+    materialises the (B, A_total, C) concat — whose anchor-major reshape +
+    concat copies cost ~10 ms/step at D0/b128 (device trace). The per-anchor
+    class max is computed in conv layout (free channel split), only the
+    (B, A_total) max vector is concatenated, and candidate rows are gathered
+    straight out of the level tensors with strided element offsets.
+
+    Output is identical to :func:`batched_filter_from_logits` on the
+    concatenated tensors (tested).
+    """
+    from efficientdet_tpu.anchors import clip_boxes, decode_boxes
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    bsz = cls_levels[0].shape[0]
+    num_anchors_cell = box_levels[0].shape[-1] // 4
+    num_classes = cls_levels[0].shape[-1] // num_anchors_cell
+
+    # 1. per-anchor best class, in conv layout (channel split is free)
+    maxes = []
+    sizes = []
+    for lvl in cls_levels:
+        b, h, w, _ = lvl.shape
+        m = lvl.reshape(b, h, w, num_anchors_cell, num_classes).max(axis=-1)
+        maxes.append(m.reshape(b, h * w * num_anchors_cell))
+        sizes.append(h * w * num_anchors_cell)
+    anchor_best = jnp.concatenate(maxes, axis=1)  # (B, A_total) model dtype
+    total = anchor_best.shape[1]
+
+    k_anchor = min(config.pre_nms_top_k, total)
+    _, top_anchor = jax.lax.top_k(anchor_best, k_anchor)  # (B, Ka) global ids
+
+    # 2. gather candidate rows from the level tensors by strided offsets
+    def gather_slices(flat, starts, length):
+        """flat (B, M); starts (B, Ka) element offsets -> (B, Ka, length)."""
+        def per_image(v, s):
+            return jax.vmap(
+                lambda si: jax.lax.dynamic_slice(v, (si,), (length,))
+            )(s)
+        return jax.vmap(per_image)(flat, starts)
+
+    cand_logits = jnp.zeros(
+        (bsz, k_anchor, num_classes), cls_levels[0].dtype
+    )
+    cand_deltas = jnp.zeros((bsz, k_anchor, 4), box_levels[0].dtype)
+    offset = 0
+    for lvl_c, lvl_b, n in zip(cls_levels, box_levels, sizes):
+        local = top_anchor - offset
+        in_lvl = (local >= 0) & (local < n)
+        local = jnp.clip(local, 0, n - 1)
+        pixel = local // num_anchors_cell
+        a = local % num_anchors_cell
+        got_c = gather_slices(
+            lvl_c.reshape(bsz, -1),
+            pixel * (num_anchors_cell * num_classes) + a * num_classes,
+            num_classes,
+        )
+        cand_logits = jnp.where(in_lvl[..., None], got_c, cand_logits)
+        got_b = gather_slices(
+            lvl_b.reshape(bsz, -1),
+            pixel * (num_anchors_cell * 4) + a * 4,
+            4,
+        )
+        cand_deltas = jnp.where(in_lvl[..., None], got_b, cand_deltas)
+        offset += n
+
+    cand_anchors = jnp.take(anchors.astype(jnp.float32), top_anchor, axis=0)
+    cand_boxes_a = clip_boxes(
+        decode_boxes(cand_deltas.astype(jnp.float32), cand_anchors), image_hw
+    )
+    return _pairs_and_suppress(
+        cand_logits, cand_boxes_a, num_classes, config, use_pallas
+    )

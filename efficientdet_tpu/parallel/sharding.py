@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from efficientdet_tpu.configs import EvalConfig, ModelConfig, TrainConfig
+from efficientdet_tpu.configs import EvalConfig, TrainConfig
 from efficientdet_tpu.models.detector import EfficientDet, predict_pipeline
 from efficientdet_tpu.train_lib import TrainState, make_train_step
 

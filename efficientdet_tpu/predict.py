@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import argparse
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

@@ -18,9 +18,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import sys
 import time
-from typing import Optional
 
 import numpy as np
 

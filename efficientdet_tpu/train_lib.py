@@ -15,7 +15,6 @@ int32 with -1 padding.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import flax
@@ -25,7 +24,7 @@ import numpy as np
 import optax
 
 from efficientdet_tpu.anchors import anchor_targets_batch, anchors_for_shape
-from efficientdet_tpu.configs import ModelConfig, TrainConfig
+from efficientdet_tpu.configs import TrainConfig
 from efficientdet_tpu.losses import detection_loss
 from efficientdet_tpu.models.detector import EfficientDet
 from efficientdet_tpu.ops.preprocess import preprocess_batch_fixed

@@ -12,9 +12,6 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
-import jax
-import numpy as np
-
 
 class CheckpointManager:
     def __init__(self, directory: str, keep: int = 3, best_only: bool = False):

@@ -27,7 +27,6 @@ from __future__ import annotations
 import copy
 from typing import Any, Dict
 
-import jax.numpy as jnp
 import numpy as np
 
 

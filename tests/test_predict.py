@@ -103,3 +103,29 @@ class TestPredictEndToEnd:
         b2, s2, c2, n2 = sharded(vars_r, images)
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
         np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+
+
+class TestPerLevelPath:
+    def test_per_level_matches_concat(self):
+        model, cfg = tiny_model(num_classes=20)  # C > per_anchor_top_c=16
+        vars_ = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+        images = jnp.asarray(
+            np.random.RandomState(2).randint(0, 255, (2, 128, 128, 3)), jnp.uint8
+        )
+        from efficientdet_tpu.models.detector import predict_pipeline
+
+        ec = EvalConfig(max_detections=30, pre_nms_top_k=256)
+        a = predict_pipeline(model, vars_, images, ec, per_level=False)
+        b = predict_pipeline(model, vars_, images, ec, per_level=True)
+        np.testing.assert_array_equal(np.asarray(a[3]), np.asarray(b[3]))
+        for i in range(2):
+            n = int(a[3][i])
+            np.testing.assert_allclose(
+                np.asarray(a[1][i])[:n], np.asarray(b[1][i])[:n], atol=1e-6
+            )
+            np.testing.assert_array_equal(
+                np.asarray(a[2][i])[:n], np.asarray(b[2][i])[:n]
+            )
+            np.testing.assert_allclose(
+                np.asarray(a[0][i])[:n], np.asarray(b[0][i])[:n], atol=1e-4
+            )
