@@ -85,12 +85,32 @@ class CocoEvaluator:
         for ann in gt_annotations:
             self._gts[(ann["image_id"], ann["category_id"])].append(ann)
         self._dets: Dict[Tuple[int, int], List[dict]] = defaultdict(list)
+        self._iou_cache: Dict[Tuple[int, int], np.ndarray] = {}
 
     def add_detections(self, results: Iterable[dict]) -> None:
+        self._iou_cache.clear()
         for r in results:
             self._dets[(r["image_id"], r["category_id"])].append(r)
 
     # -- per-image matching ------------------------------------------------
+    #
+    # Matching runs once per (image, category, area) at the LARGEST maxDets;
+    # smaller maxDets are exact truncations (greedy matching processes
+    # detections in score order, so earlier assignments don't depend on
+    # later detections) — the same factorisation pycocotools uses. The IoU
+    # matrix is additionally cached per (image, category) across areas.
+
+    def _ious(self, img_id: int, cat_id: int, gts, dts):
+        key = (img_id, cat_id)
+        got = self._iou_cache.get(key)
+        if got is not None:
+            return got
+        g_boxes = np.array([g["bbox"] for g in gts], np.float64).reshape(-1, 4)
+        d_boxes = np.array([d["bbox"] for d in dts], np.float64).reshape(-1, 4)
+        g_crowd = np.array([bool(g.get("iscrowd", 0)) for g in gts])
+        out = _iou_xywh(d_boxes, g_boxes, g_crowd)
+        self._iou_cache[key] = out
+        return out
 
     def _evaluate_image(
         self, img_id: int, cat_id: int, area_rng: Tuple[float, float], max_det: int
@@ -99,6 +119,8 @@ class CocoEvaluator:
         dts = self._dets.get((img_id, cat_id), [])
         if not gts and not dts:
             return None
+
+        ious_raw = self._ious(img_id, cat_id, gts, dts)
 
         g_ignore = np.array(
             [
@@ -124,9 +146,10 @@ class CocoEvaluator:
         dts = [dts[i] for i in d_order]
         d_scores = d_scores[d_order]
 
-        g_boxes = np.array([g["bbox"] for g in gts], np.float64).reshape(-1, 4)
         d_boxes = np.array([d["bbox"] for d in dts], np.float64).reshape(-1, 4)
-        ious = _iou_xywh(d_boxes, g_boxes, g_crowd)
+        ious = ious_raw[np.ix_(d_order, g_order)] if len(gts) and len(dts) else (
+            np.zeros((len(dts), len(gts)))
+        )
 
         T, D, G = len(IOU_THRS), len(dts), len(gts)
         dtm = np.zeros((T, D), np.int64)  # matched gt index + 1, 0 = none
@@ -177,23 +200,29 @@ class CocoEvaluator:
 
         for ki, cat in enumerate(self.category_ids):
             for ai, area_rng in enumerate(AREA_RANGES.values()):
+                all_img = [
+                    self._evaluate_image(img, cat, area_rng, MAX_DETS[-1])
+                    for img in self.image_ids
+                ]
+                all_img = [e for e in all_img if e is not None]
+                if not all_img:
+                    continue
+                npig = sum(e["num_gt"] for e in all_img)
+                if npig == 0:
+                    continue
                 for mi, max_det in enumerate(MAX_DETS):
-                    per_img = [
-                        self._evaluate_image(img, cat, area_rng, max_det)
-                        for img in self.image_ids
-                    ]
-                    per_img = [e for e in per_img if e is not None]
-                    if not per_img:
-                        continue
-                    scores = np.concatenate([e["scores"] for e in per_img])
+                    # exact per-image truncation of the maxDets[-1] matching
+                    per_img = all_img
+                    scores = np.concatenate(
+                        [e["scores"][:max_det] for e in per_img]
+                    )
                     order = np.argsort(-scores, kind="mergesort")
-                    dtm = np.concatenate([e["dtm"] for e in per_img], 1)[:, order]
-                    dt_ig = np.concatenate(
-                        [e["dt_ignore"] for e in per_img], 1
+                    dtm = np.concatenate(
+                        [e["dtm"][:, :max_det] for e in per_img], 1
                     )[:, order]
-                    npig = sum(e["num_gt"] for e in per_img)
-                    if npig == 0:
-                        continue
+                    dt_ig = np.concatenate(
+                        [e["dt_ignore"][:, :max_det] for e in per_img], 1
+                    )[:, order]
                     tps = (dtm > 0) & ~dt_ig
                     fps = (dtm == 0) & ~dt_ig
                     tp_sum = np.cumsum(tps, 1).astype(np.float64)
