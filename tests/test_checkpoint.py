@@ -1,0 +1,51 @@
+"""CheckpointManager (orbax) save/restore/retention tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from efficientdet_tpu.utils.checkpoint import (
+    CheckpointManager,
+    load_params,
+    save_params,
+)
+
+
+def make_state(x):
+    return {
+        "params": {"w": np.full((4, 4), float(x), np.float32)},
+        "step": np.asarray(x, np.int32),
+    }
+
+
+class TestCheckpointManager:
+    def test_save_restore_roundtrip(self, tmp_path):
+        mgr = CheckpointManager(str(tmp_path / "ck"))
+        mgr.save(1, make_state(1))
+        mgr.save(2, make_state(2))
+        assert mgr.latest_step() == 2
+        got = mgr.restore(make_state(0))
+        np.testing.assert_allclose(got["params"]["w"], 2.0)
+        got1 = mgr.restore(make_state(0), step=1)
+        np.testing.assert_allclose(got1["params"]["w"], 1.0)
+
+    def test_keep_limit(self, tmp_path):
+        mgr = CheckpointManager(str(tmp_path / "ck"), keep=2)
+        for i in range(1, 5):
+            mgr.save(i, make_state(i))
+        assert mgr.latest_step() == 4
+        with pytest.raises(Exception):
+            mgr.restore(make_state(0), step=1)  # pruned
+
+    def test_restore_missing_raises(self, tmp_path):
+        mgr = CheckpointManager(str(tmp_path / "empty"))
+        with pytest.raises(FileNotFoundError):
+            mgr.restore(make_state(0))
+
+
+def test_params_only_roundtrip(tmp_path):
+    params = {"a": np.arange(6, dtype=np.float32).reshape(2, 3)}
+    save_params(str(tmp_path / "p"), params)
+    got = load_params(str(tmp_path / "p"), {"a": np.zeros((2, 3), np.float32)})
+    np.testing.assert_allclose(got["a"], params["a"])
