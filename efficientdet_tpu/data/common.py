@@ -176,3 +176,35 @@ def batch_iterator(
             }
         if not repeat:
             break
+
+
+def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
+    """Run ``iterator`` in a background thread, buffering ``size`` batches.
+
+    The reference overlapped host data work with device steps via Keras
+    ``fit_generator`` multiprocessing workers; a single prefetch thread is
+    the TPU-side equivalent (the device step is one jitted call, so the host
+    thread has the whole step duration to prepare the next batch — measured
+    host letterboxing for a 32x512px batch is comparable to the D0 train
+    step itself).
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    _END = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item

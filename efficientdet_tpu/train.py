@@ -151,9 +151,14 @@ def main(argv=None):
     step_fn = make_sharded_train_step(model, tc, mesh)
 
     augment = make_augmenter() if args.random_transform else None
-    it = batch_iterator(
-        train_ds, args.batch_size, target_size=size, max_gt=args.max_gt,
-        shuffle=True, repeat=True, augment=augment, seed=args.seed,
+    from efficientdet_tpu.data.common import prefetch
+
+    it = prefetch(
+        batch_iterator(
+            train_ds, args.batch_size, target_size=size, max_gt=args.max_gt,
+            shuffle=True, repeat=True, augment=augment, seed=args.seed,
+        ),
+        size=2,
     )
 
     log_path = args.log_file or os.path.join(args.snapshot_path, "train_log.jsonl")
@@ -212,7 +217,10 @@ def main(argv=None):
             (epoch + 1) % args.eval_every == 0
         ):
             predict = make_sharded_predict_fn(model, mesh)
-            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            eval_params = (
+                state.ema_params if state.ema_params is not None else state.params
+            )
+            variables = {"params": eval_params, "batch_stats": state.batch_stats}
             if args.dataset_type == "coco":
                 # reference eval/coco.py Evaluate callback -> COCO AP
                 from efficientdet_tpu.evaluation.coco_eval import evaluate_coco

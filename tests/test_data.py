@@ -238,3 +238,16 @@ class TestMiscAugment:
         boxes = np.asarray([[10, 10, 40, 40]], np.float32)
         img2, b2 = aug(rng, img, boxes)
         assert img2.ndim == 3 and b2.shape == (1, 4)
+
+
+def test_prefetch_preserves_stream(csv_dataset):
+    from efficientdet_tpu.data.common import prefetch
+
+    direct = list(batch_iterator(csv_dataset, 1, target_size=64, shuffle=False))
+    fetched = list(
+        prefetch(batch_iterator(csv_dataset, 1, target_size=64, shuffle=False))
+    )
+    assert len(direct) == len(fetched)
+    for a, b in zip(direct, fetched):
+        np.testing.assert_array_equal(a["images"], b["images"])
+        np.testing.assert_array_equal(a["gt_boxes"], b["gt_boxes"])
