@@ -229,3 +229,11 @@ class EvalConfig:
     # anchor box would all rank in the global top-K pool — not a real
     # detection pattern. Set >= num_classes for strict reference semantics.
     per_anchor_top_c: int = 16
+    # Anchor prefilter via lax.approx_max_k (TPU PartialReduce) instead of
+    # top_k's full sort: 7.2 -> 3.3 ms at (128, 49104) on v5e. A top-ranked
+    # anchor is lost only when a HIGHER-scoring anchor lands in its reduction
+    # bin, so the top-100 detections are essentially unaffected (the op
+    # guarantees >=0.95 recall over the whole top-1024 pool); on CPU the op
+    # lowers to an exact sort, so CPU oracle tests see identical values.
+    # Set False for strict exact-top-k semantics on TPU.
+    approx_anchor_prefilter: bool = True

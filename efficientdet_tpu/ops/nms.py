@@ -239,6 +239,23 @@ def filter_detections_from_logits(
     return det_boxes, det_scores, det_classes, num_valid
 
 
+def _anchor_topk_indices(anchor_best, k_anchor, config: EvalConfig):
+    """Top-k anchor ids by best-class score (the NMS anchor prefilter).
+
+    With ``config.approx_anchor_prefilter`` (default) this uses
+    ``lax.approx_max_k`` — TPU's PartialReduce, ~2x faster than top_k's
+    full-sort lowering at (B, 49k) and value-exact on CPU. The prefilter
+    order is irrelevant downstream (the pair top-k re-sorts candidates).
+    """
+    if config.approx_anchor_prefilter:
+        _, top_anchor = jax.lax.approx_max_k(
+            anchor_best, k_anchor, recall_target=0.95
+        )
+        return top_anchor
+    _, top_anchor = jax.lax.top_k(anchor_best, k_anchor)
+    return top_anchor
+
+
 def batched_filter_from_logits(
     anchors: jax.Array,
     box_deltas: jax.Array,
@@ -265,14 +282,16 @@ def batched_filter_from_logits(
     # and XLA lowers top_k as a full sort, the NMS profile's top cost.
     k_anchor = min(config.pre_nms_top_k, num_anchors)
     anchor_best = jnp.max(cls_logits, axis=2)  # (B, A) model dtype
-    _, top_anchor = jax.lax.top_k(anchor_best, k_anchor)  # (B, Ka)
+    top_anchor = _anchor_topk_indices(anchor_best, k_anchor, config)  # (B, Ka)
     cand_logits = jnp.take_along_axis(
         cls_logits, top_anchor[..., None], axis=1
     )  # (B, Ka, C) model dtype
     cand_anchors = jnp.take(anchors, top_anchor, axis=0)  # (B, Ka, 4)
+    # gather the Ka rows FIRST, cast after: casting the whole (B, A, 4)
+    # tensor materialises an extra full pass (device trace).
     cand_deltas = jnp.take_along_axis(
-        box_deltas.astype(jnp.float32), top_anchor[..., None], axis=1
-    )
+        box_deltas, top_anchor[..., None], axis=1
+    ).astype(jnp.float32)
     from efficientdet_tpu.anchors import clip_boxes, decode_boxes
 
     cand_boxes_a = clip_boxes(decode_boxes(cand_deltas, cand_anchors), image_hw)
@@ -378,14 +397,22 @@ def batched_filter_from_level_logits(
 
     Takes the heads' per-level conv-layout tensors (lists of
     (B, Hl, Wl, A*C) logits and (B, Hl, Wl, A*4) deltas) and never
-    materialises the (B, A_total, C) concat — whose anchor-major reshape +
-    concat copies cost ~10 ms/step at D0/b128 (device trace). The per-anchor
-    class max is computed in conv layout (free channel split), only the
-    (B, A_total) max vector is concatenated, and candidate rows are gathered
-    straight out of the level tensors with strided element offsets.
+    materialises the (B, A_total, C) concat. The device trace at D0/b128
+    showed the concat path's front-end costs ~16.5 ms of a 68 ms step:
+    anchor-major reshape+copy of P3 (5.9), the concat fusion (3.7), the
+    (B, A, C) class-max reduce (2.6) and the (B, 49104) full-sort top-k
+    (4.3). This path replaces all of it with a PIXEL prefilter:
+
+    1. per-pixel max over the whole (A*C)-wide minor dim — a lane-aligned
+       reduce in conv layout, no retile — concat only the (B, n_pix) vectors;
+    2. top-K *pixels*. Exactness guarantee: a pixel's max is >= each of its
+       anchors' best scores, so at most K-1 pixels can outrank the pixel of
+       any top-K anchor => the top-K pixels contain ALL top-K anchors;
+    3. gather only the K compact pixel rows per level (aligned row gathers),
+       then reduce the (B, K*A_cell) pool to the EXACT top-K anchors.
 
     Output is identical to :func:`batched_filter_from_logits` on the
-    concatenated tensors (tested).
+    concatenated tensors (tested), without the approx-prefilter caveat.
     """
     from efficientdet_tpu.anchors import clip_boxes, decode_boxes
 
@@ -396,57 +423,60 @@ def batched_filter_from_level_logits(
     num_anchors_cell = box_levels[0].shape[-1] // 4
     num_classes = cls_levels[0].shape[-1] // num_anchors_cell
 
-    # 1. per-anchor best class, in conv layout (channel split is free)
-    maxes = []
+    # 1. per-pixel max over all anchor*class channels, in conv layout
+    pixel_best = []
     sizes = []
     for lvl in cls_levels:
         b, h, w, _ = lvl.shape
-        m = lvl.reshape(b, h, w, num_anchors_cell, num_classes).max(axis=-1)
-        maxes.append(m.reshape(b, h * w * num_anchors_cell))
-        sizes.append(h * w * num_anchors_cell)
-    anchor_best = jnp.concatenate(maxes, axis=1)  # (B, A_total) model dtype
-    total = anchor_best.shape[1]
+        pixel_best.append(jnp.max(lvl, axis=-1).reshape(b, h * w))
+        sizes.append(h * w)
+    pixel_best = jnp.concatenate(pixel_best, axis=1)  # (B, P) model dtype
+    total_pix = pixel_best.shape[1]
 
-    k_anchor = min(config.pre_nms_top_k, total)
-    _, top_anchor = jax.lax.top_k(anchor_best, k_anchor)  # (B, Ka) global ids
+    # 2. top-K pixels (exact superset of the top-K anchors, see docstring)
+    k_pix = min(config.pre_nms_top_k, total_pix)
+    _, top_pixel = jax.lax.top_k(pixel_best, k_pix)  # (B, Kp) global ids
 
-    # 2. gather candidate rows from the level tensors by strided offsets
-    def gather_slices(flat, starts, length):
-        """flat (B, M); starts (B, Ka) element offsets -> (B, Ka, length)."""
-        def per_image(v, s):
-            return jax.vmap(
-                lambda si: jax.lax.dynamic_slice(v, (si,), (length,))
-            )(s)
-        return jax.vmap(per_image)(flat, starts)
-
-    cand_logits = jnp.zeros(
-        (bsz, k_anchor, num_classes), cls_levels[0].dtype
+    # 3. gather the K compact pixel rows per level (aligned row gathers)
+    cls_rows = jnp.zeros(
+        (bsz, k_pix, num_anchors_cell * num_classes), cls_levels[0].dtype
     )
-    cand_deltas = jnp.zeros((bsz, k_anchor, 4), box_levels[0].dtype)
-    offset = 0
+    box_rows = jnp.zeros(
+        (bsz, k_pix, num_anchors_cell * 4), box_levels[0].dtype
+    )
+    off = 0
     for lvl_c, lvl_b, n in zip(cls_levels, box_levels, sizes):
-        local = top_anchor - offset
+        local = top_pixel - off
         in_lvl = (local >= 0) & (local < n)
-        local = jnp.clip(local, 0, n - 1)
-        pixel = local // num_anchors_cell
-        a = local % num_anchors_cell
-        got_c = gather_slices(
-            lvl_c.reshape(bsz, -1),
-            pixel * (num_anchors_cell * num_classes) + a * num_classes,
-            num_classes,
-        )
-        cand_logits = jnp.where(in_lvl[..., None], got_c, cand_logits)
-        got_b = gather_slices(
-            lvl_b.reshape(bsz, -1),
-            pixel * (num_anchors_cell * 4) + a * 4,
-            4,
-        )
-        cand_deltas = jnp.where(in_lvl[..., None], got_b, cand_deltas)
-        offset += n
+        li = jnp.clip(local, 0, n - 1)[..., None]
+        got_c = jnp.take_along_axis(lvl_c.reshape(bsz, n, -1), li, axis=1)
+        cls_rows = jnp.where(in_lvl[..., None], got_c, cls_rows)
+        got_b = jnp.take_along_axis(lvl_b.reshape(bsz, n, -1), li, axis=1)
+        box_rows = jnp.where(in_lvl[..., None], got_b, box_rows)
+        off += n
 
-    cand_anchors = jnp.take(anchors.astype(jnp.float32), top_anchor, axis=0)
+    # 4. exact top-K anchors within the compact (B, Kp*A_cell) pool
+    pool = k_pix * num_anchors_cell
+    cand_all = cls_rows.reshape(bsz, pool, num_classes)
+    anchor_best = jnp.max(cand_all, axis=-1)  # (B, pool) model dtype
+    k_anchor = min(config.pre_nms_top_k, pool)
+    _, top_local = jax.lax.top_k(anchor_best, k_anchor)  # ids into pool
+    cand_logits = jnp.take_along_axis(
+        cand_all, top_local[..., None], axis=1
+    )  # (B, Ka, C) model dtype
+    cand_deltas = jnp.take_along_axis(
+        box_rows.reshape(bsz, pool, 4), top_local[..., None], axis=1
+    ).astype(jnp.float32)
+    # global anchor id = A_cell * global_pixel + a (level-major (h, w, a)
+    # ordering — the same flattening the concat path and anchors_for_shape
+    # use)
+    gpix = jnp.take_along_axis(
+        top_pixel, top_local // num_anchors_cell, axis=1
+    )
+    anchor_ids = gpix * num_anchors_cell + top_local % num_anchors_cell
+    cand_anchors = jnp.take(anchors.astype(jnp.float32), anchor_ids, axis=0)
     cand_boxes_a = clip_boxes(
-        decode_boxes(cand_deltas.astype(jnp.float32), cand_anchors), image_hw
+        decode_boxes(cand_deltas, cand_anchors), image_hw
     )
     return _pairs_and_suppress(
         cand_logits, cand_boxes_a, num_classes, config, use_pallas

@@ -191,3 +191,75 @@ class TestBatchedFromLogits:
             np.testing.assert_allclose(
                 np.asarray(got[0][i])[:n], np.asarray(want[0])[:n], atol=1e-4
             )
+
+
+class TestPerLevelFrontEnd:
+    """The pixel-prefilter per-level path must match the concat path exactly."""
+
+    def test_matches_concat_path(self):
+        from efficientdet_tpu.anchors import anchors_for_shape
+        from efficientdet_tpu.configs import ModelConfig
+        from efficientdet_tpu.ops.nms import batched_filter_from_level_logits
+
+        cfg = ModelConfig.for_phi(0, num_classes=20)
+        size = 128  # levels 16, 8, 4, 2, 1
+        rng = np.random.RandomState(0)
+        a_cell, C = 9, 20
+        hw = [size // s for s in (8, 16, 32, 64, 128)]
+        cls_levels = [
+            jnp.asarray(2.0 * rng.randn(3, h, h, a_cell * C).astype(np.float32))
+            for h in hw
+        ]
+        box_levels = [
+            jnp.asarray(0.1 * rng.randn(3, h, h, a_cell * 4).astype(np.float32))
+            for h in hw
+        ]
+        anchors = jnp.asarray(anchors_for_shape((size, size), cfg.anchor))
+        cls_cat = jnp.concatenate([l.reshape(3, -1, C) for l in cls_levels], 1)
+        box_cat = jnp.concatenate([l.reshape(3, -1, 4) for l in box_levels], 1)
+        ec = EvalConfig(pre_nms_top_k=256, approx_anchor_prefilter=False)
+        want = batched_filter_from_logits(
+            anchors, box_cat, cls_cat, (size, size), ec, use_pallas=False
+        )
+        got = batched_filter_from_level_logits(
+            anchors, box_levels, cls_levels, (size, size), ec, use_pallas=False
+        )
+        for w, g in zip(want, got):
+            np.testing.assert_allclose(np.asarray(w), np.asarray(g), atol=1e-5)
+
+    def test_pixel_prefilter_superset_guarantee(self):
+        # Adversarial: many strong anchors concentrated on FEW pixels must
+        # not evict weaker anchors elsewhere beyond the exact top-K set.
+        from efficientdet_tpu.anchors import anchors_for_shape
+        from efficientdet_tpu.configs import ModelConfig
+        from efficientdet_tpu.ops.nms import batched_filter_from_level_logits
+
+        cfg = ModelConfig.for_phi(0, num_classes=4)
+        size = 128
+        rng = np.random.RandomState(1)
+        a_cell, C = 9, 4
+        hw = [size // s for s in (8, 16, 32, 64, 128)]
+        cls_levels = []
+        for h in hw:
+            t = -8.0 + 0.01 * rng.randn(2, h, h, a_cell * C).astype(np.float32)
+            cls_levels.append(jnp.asarray(t))
+        # hot pixels: all 9 anchors x all classes strong on 3 pixels of P3
+        hot = np.asarray(cls_levels[0]).copy()
+        hot[:, :2, :2, :] = 5.0 + rng.rand(2, 2, 2, a_cell * C)
+        cls_levels[0] = jnp.asarray(hot)
+        box_levels = [
+            jnp.asarray(0.1 * rng.randn(2, h, h, a_cell * 4).astype(np.float32))
+            for h in hw
+        ]
+        anchors = jnp.asarray(anchors_for_shape((size, size), cfg.anchor))
+        cls_cat = jnp.concatenate([l.reshape(2, -1, C) for l in cls_levels], 1)
+        box_cat = jnp.concatenate([l.reshape(2, -1, 4) for l in box_levels], 1)
+        ec = EvalConfig(pre_nms_top_k=64, approx_anchor_prefilter=False)
+        want = batched_filter_from_logits(
+            anchors, box_cat, cls_cat, (size, size), ec, use_pallas=False
+        )
+        got = batched_filter_from_level_logits(
+            anchors, box_levels, cls_levels, (size, size), ec, use_pallas=False
+        )
+        for w, g in zip(want, got):
+            np.testing.assert_allclose(np.asarray(w), np.asarray(g), atol=1e-5)
