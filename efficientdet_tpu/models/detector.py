@@ -46,6 +46,7 @@ class EfficientDet(nn.Module):
         images: jax.Array,
         train: bool = False,
         return_raw_levels: bool = False,
+        return_anchor_major_levels: bool = False,
     ) -> Tuple[jax.Array, jax.Array]:
         """images (B, S, S, 3) normalised -> (cls_logits (B,A,C), box (B,A,4)).
 
@@ -87,7 +88,12 @@ class EfficientDet(nn.Module):
             dtype=self.dtype,
             fuse_bn=self.fuse_bn,
             name="class_net",
-        )(feats, use_running_average=ura, return_raw_levels=return_raw_levels)
+        )(
+            feats,
+            use_running_average=ura,
+            return_raw_levels=return_raw_levels,
+            return_anchor_major_levels=return_anchor_major_levels,
+        )
         box_deltas = BoxNet(
             width=cfg.bifpn_width,
             depth=cfg.head_depth,
@@ -97,7 +103,12 @@ class EfficientDet(nn.Module):
             dtype=self.dtype,
             fuse_bn=self.fuse_bn,
             name="box_net",
-        )(feats, use_running_average=ura, return_raw_levels=return_raw_levels)
+        )(
+            feats,
+            use_running_average=ura,
+            return_raw_levels=return_raw_levels,
+            return_anchor_major_levels=return_anchor_major_levels,
+        )
         return cls_logits, box_deltas
 
 
@@ -146,29 +157,45 @@ def predict_pipeline(
     images: jax.Array,
     eval_config: EvalConfig = EvalConfig(),
     preprocess: bool = True,
-    per_level: bool = False,
+    front_end: str | None = None,
 ):
     """Full on-device prediction: [normalise ->] forward -> decode -> NMS.
 
     Args:
       images: (B, S, S, 3); raw RGB [0,255] if ``preprocess`` else already
         normalised.
-      per_level: consume raw per-level head outputs, skipping the
-        anchor-major reshape/concat. Semantically identical (tested) but
-        measured 15x SLOWER on v5e: the per-candidate 90-wide gathers from
-        conv-layout tensors lower to unaligned TPU gathers that dwarf the
-        ~10 ms/step concat they avoid. Kept for documentation/future Pallas
-        gather work; default off.
+      front_end: how head outputs feed the NMS selection; all three produce
+        identical detections (tested):
+        * ``"anchor_major"`` (default) — the heads' final pointwise runs as
+          a dot emitting batch-major (B, HW*A, C) rows per level; no
+          (B, A_total, C) concat, no batch-minor retile (the two biggest
+          NMS front-end costs in the device trace at D0/b128).
+        * ``"concat"`` — reference-shaped (B, A_total, C) tensors.
+        * ``"pixel_gather"`` — exact pixel-prefilter over conv-layout
+          outputs; measured slower on v5e (batch-minor gather retiles),
+          kept as documentation.
     Returns (boxes (B,D,4), scores (B,D), classes (B,D), num_valid (B,)).
     """
     cfg = model.config
     size = images.shape[1]
+    front_end = front_end or "anchor_major"
     if preprocess:
         images = preprocess_batch_fixed(images, dtype=model.dtype)
     anchors = jnp.asarray(anchors_for_shape((size, size), cfg.anchor))
     # Late-decode NMS: selection in logit space, decode only the candidates
     # (exact; see ops/nms.py).
-    if per_level:
+    if front_end == "anchor_major":
+        from efficientdet_tpu.ops.nms import (
+            batched_filter_from_anchor_major_levels,
+        )
+
+        cls_levels, box_levels = model.apply(
+            variables, images, train=False, return_anchor_major_levels=True
+        )
+        return batched_filter_from_anchor_major_levels(
+            anchors, box_levels, cls_levels, (size, size), eval_config
+        )
+    if front_end == "pixel_gather":
         from efficientdet_tpu.ops.nms import batched_filter_from_level_logits
 
         cls_levels, box_levels = model.apply(
@@ -177,6 +204,8 @@ def predict_pipeline(
         return batched_filter_from_level_logits(
             anchors, box_levels, cls_levels, (size, size), eval_config
         )
+    if front_end != "concat":
+        raise ValueError(f"unknown front_end {front_end!r}")
     from efficientdet_tpu.ops.nms import batched_filter_from_logits
 
     cls_logits, box_deltas = model.apply(variables, images, train=False)

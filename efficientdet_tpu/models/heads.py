@@ -38,6 +38,121 @@ def prior_prob_bias(prior: float = 0.01):
     return init
 
 
+class _PointwiseDot(nn.Module):
+    """The final 1x1 conv as the fused Pallas matmul (ops/head_pallas.py).
+
+    Parameter-compatible with the ``nn.Conv(name="pointwise")`` it replaces
+    (kernel ``(1, 1, Cin, features)``, bias ``(features,)`` — same names,
+    shapes, initializers), so checkpoints and fold_bn see no difference.
+
+    Why it exists: at batch 128 XLA lays conv outputs out batch-minor
+    (batch fills the 128 vector lanes), so the NMS front-end's per-image
+    top-k/gathers forced a batch-major retile of the big (B, H, W, A*C)
+    head outputs (~6-9 ms/step, device trace); expressing the pointwise as
+    a plain dot did not help (XLA canonicalises it back to a convolution
+    and re-picks layouts — measured). A Pallas call has fixed standard
+    layouts at its boundary, so XLA retiles the SMALL depthwise input
+    instead, and the kernel fuses the per-anchor class max the NMS anchor
+    prefilter needs (the logits tensor is written once, never re-read).
+
+    ``split_anchors=True``  (class head) -> ``(z (A, Mp, C), amax (B, A*HW))``
+    ``split_anchors=False`` (box head)   -> ``(Mp, A*4)`` pixel rows
+    (an (..., 4)-minor layout would pad 4 lanes to 128 = 32x write
+    amplification; 36-wide pixel rows pad only 3.5x on a small tensor).
+    """
+
+    features: int
+    num_anchors: int
+    split_anchors: bool
+    dtype: Dtype = jnp.float32
+    bias_init: Any = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, y: jax.Array):
+        from efficientdet_tpu.ops.head_pallas import (
+            head_pointwise_anchor_major,
+            head_pointwise_reference,
+        )
+
+        b, h, w, cin = y.shape
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, cin, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", self.bias_init, (self.features,), jnp.float32
+        )
+        flat = y.astype(self.dtype).reshape(b * h * w, cin)
+        k2d = kernel.reshape(cin, self.features)
+        fn = (
+            head_pointwise_anchor_major
+            if jax.default_backend() == "tpu"
+            else head_pointwise_reference
+        )
+        if self.split_anchors:
+            a = self.num_anchors
+            hw = h * w
+            z, amax, m = fn(flat, k2d, bias, a)
+            # (A, Mp) -> per-image (B, A*HW): slice padded rows, lift the
+            # anchor plane above the pixel index (major-dim moves, cheap)
+            amax_img = (
+                amax[:, :m]
+                .reshape(a, b, hw)
+                .transpose(1, 0, 2)
+                .reshape(b, a * hw)
+            )
+            return z, amax_img
+        z, _, _ = fn(flat, k2d, bias, 1)
+        return z[0]  # (Mp, A*4) pixel rows; padded rows never gathered
+
+
+class _FinalConv(nn.Module):
+    """The heads' output layer: depthwise 3x3 + pointwise 1x1.
+
+    Parameter-compatible twin of ``SeparableConv`` (children ``depthwise``
+    and ``pointwise`` with identical param trees). ``mode`` selects the
+    pointwise implementation at call time over the SAME parameters:
+
+    * ``"conv"``          — nn.Conv, (B, H, W, A*out) conv layout (training
+                            and the concat inference path);
+    * ``"anchor_major"``  — dot, (B, H*W*A, out) rows (class head);
+    * ``"pixel_major"``   — dot, (B, H*W, A*out) rows (box head).
+    """
+
+    features: int
+    num_anchors: int
+    dtype: Dtype = jnp.float32
+    bias_init: Any = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mode: str = "conv") -> jax.Array:
+        in_ch = x.shape[-1]
+        x = nn.Conv(
+            in_ch,
+            (3, 3),
+            padding="SAME",
+            feature_group_count=in_ch,
+            use_bias=False,
+            dtype=self.dtype,
+            name="depthwise",
+        )(x)
+        if mode == "conv":
+            return nn.Conv(
+                self.features, (1, 1), use_bias=True, dtype=self.dtype,
+                bias_init=self.bias_init, name="pointwise",
+            )(x)
+        return _PointwiseDot(
+            features=self.features,
+            num_anchors=self.num_anchors,
+            split_anchors=(mode == "anchor_major"),
+            dtype=self.dtype,
+            bias_init=self.bias_init,
+            name="pointwise",
+        )(x)
+
+
 class _Head(nn.Module):
     """Common structure for ClassNet/BoxNet."""
 
@@ -46,6 +161,9 @@ class _Head(nn.Module):
     num_outputs: int  # per-anchor outputs of the final conv
     num_anchors: int
     final_bias_init: Any  # flax bias initializer for the final pointwise
+    # anchor-major final layout splits the A*out channels into (A, out) rows
+    # (class head); the box head keeps pixel-major (A*4)-wide rows.
+    anchor_major_split: bool = True
     bn_momentum: float = 0.99
     bn_epsilon: float = 1e-3
     dtype: Dtype = jnp.float32
@@ -60,6 +178,7 @@ class _Head(nn.Module):
         feats: Sequence[jax.Array],
         use_running_average: bool = True,
         return_raw_levels: bool = False,
+        return_anchor_major_levels: bool = False,
     ) -> jax.Array:
         # Convs constructed once => weights shared across pyramid levels.
         if self.fuse_bn:
@@ -76,11 +195,18 @@ class _Head(nn.Module):
                 SeparableConv(self.width, dtype=self.dtype, name=f"conv{i}")
                 for i in range(self.depth)
             ]
-        final = SeparableConv(
-            self.num_outputs * self.num_anchors, dtype=self.dtype,
+        final = _FinalConv(
+            features=self.num_outputs * self.num_anchors,
+            num_anchors=self.num_anchors,
+            dtype=self.dtype,
             bias_init=self.final_bias_init or nn.initializers.zeros,
             name="final",
         )
+        final_mode = "conv"
+        if return_anchor_major_levels:
+            final_mode = (
+                "anchor_major" if self.anchor_major_split else "pixel_major"
+            )
         outputs = []
         for lvl, x in enumerate(feats):
             for i in range(self.depth):
@@ -100,13 +226,15 @@ class _Head(nn.Module):
                         name=f"bn_l{lvl}_d{i}",
                     )(x).astype(self.dtype)
                 x = nn.swish(x)
-            x = final(x)
-            if return_raw_levels:
-                outputs.append(x)  # (B, H, W, A*num_outputs) conv layout
+            x = final(x, mode=final_mode)
+            if return_raw_levels or return_anchor_major_levels:
+                # raw: (B, H, W, A*out) conv layout; anchor-major:
+                # (B, H*W*A, out) [class] / (B, H*W, A*out) [box]
+                outputs.append(x)
                 continue
             b, h, w, _ = x.shape
             outputs.append(x.reshape(b, h * w * self.num_anchors, self.num_outputs))
-        if return_raw_levels:
+        if return_raw_levels or return_anchor_major_levels:
             # NHWC conv layout, no anchor-major reshape: the per-level NMS
             # prefilter consumes this directly (the reshape+concat to
             # (B, A, C) cost ~10 ms/step at D0/b128 per the device trace).
@@ -133,6 +261,7 @@ class ClassNet(nn.Module):
         feats: Sequence[jax.Array],
         use_running_average: bool = True,
         return_raw_levels: bool = False,
+        return_anchor_major_levels: bool = False,
     ) -> jax.Array:
         return _Head(
             width=self.width,
@@ -140,12 +269,14 @@ class ClassNet(nn.Module):
             num_outputs=self.num_classes,
             num_anchors=self.num_anchors,
             final_bias_init=prior_prob_bias(self.prior),
+            anchor_major_split=True,
             bn_momentum=self.bn_momentum,
             bn_epsilon=self.bn_epsilon,
             dtype=self.dtype,
             fuse_bn=self.fuse_bn,
             name="net",
-        )(feats, use_running_average, return_raw_levels)
+        )(feats, use_running_average, return_raw_levels,
+          return_anchor_major_levels)
 
 
 class BoxNet(nn.Module):
@@ -165,6 +296,7 @@ class BoxNet(nn.Module):
         feats: Sequence[jax.Array],
         use_running_average: bool = True,
         return_raw_levels: bool = False,
+        return_anchor_major_levels: bool = False,
     ) -> jax.Array:
         return _Head(
             width=self.width,
@@ -172,9 +304,11 @@ class BoxNet(nn.Module):
             num_outputs=4,
             num_anchors=self.num_anchors,
             final_bias_init=None,
+            anchor_major_split=False,
             bn_momentum=self.bn_momentum,
             bn_epsilon=self.bn_epsilon,
             dtype=self.dtype,
             fuse_bn=self.fuse_bn,
             name="net",
-        )(feats, use_running_average, return_raw_levels)
+        )(feats, use_running_average, return_raw_levels,
+          return_anchor_major_levels)

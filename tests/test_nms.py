@@ -263,3 +263,48 @@ class TestPerLevelFrontEnd:
         )
         for w, g in zip(want, got):
             np.testing.assert_allclose(np.asarray(w), np.asarray(g), atol=1e-5)
+
+
+class TestAnchorMajorFrontEnd:
+    """The kernel-contract front end must match the concat path exactly."""
+
+    def test_matches_concat_path(self):
+        from efficientdet_tpu.anchors import anchors_for_shape
+        from efficientdet_tpu.configs import ModelConfig
+        from efficientdet_tpu.ops.nms import (
+            batched_filter_from_anchor_major_levels,
+        )
+
+        cfg = ModelConfig.for_phi(0, num_classes=20)
+        size = 128
+        rng = np.random.RandomState(0)
+        B, A, C = 3, 9, 20
+        hw = [(size // s) ** 2 for s in (8, 16, 32, 64, 128)]
+        cls_levels, box_levels, cls_cat, box_cat = [], [], [], []
+        for n in hw:
+            lg = jnp.asarray(2.0 * rng.randn(B, n, A, C).astype(np.float32))
+            bx = jnp.asarray(0.1 * rng.randn(B, n, A, 4).astype(np.float32))
+            # kernel contract: z (A, B*HW, C); amax (B, A*HW); zb (B*HW, A*4)
+            z = lg.transpose(2, 0, 1, 3).reshape(A, B * n, C)
+            amax = lg.max(-1).transpose(0, 2, 1).reshape(B, A * n)
+            zb = bx.reshape(B * n, A * 4)
+            cls_levels.append((z, amax))
+            box_levels.append(zb)
+            cls_cat.append(lg.reshape(B, n * A, C))
+            box_cat.append(bx.reshape(B, n * A, 4))
+        anchors = jnp.asarray(anchors_for_shape((size, size), cfg.anchor))
+        ec = EvalConfig(pre_nms_top_k=256, approx_anchor_prefilter=False)
+        want = batched_filter_from_logits(
+            anchors,
+            jnp.concatenate(box_cat, 1),
+            jnp.concatenate(cls_cat, 1),
+            (size, size),
+            ec,
+            use_pallas=False,
+        )
+        got = batched_filter_from_anchor_major_levels(
+            anchors, box_levels, cls_levels, (size, size), ec,
+            use_pallas=False,
+        )
+        for w, g in zip(want, got):
+            np.testing.assert_allclose(np.asarray(w), np.asarray(g), atol=1e-5)

