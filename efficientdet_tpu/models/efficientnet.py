@@ -46,7 +46,23 @@ class SqueezeExcite(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        se = jnp.mean(x, axis=(1, 2), keepdims=True)  # (B,1,1,C)
+        b, h, w, c = x.shape
+        if h * w <= 4096:
+            # Small-spatial squeeze: XLA's convert+reduce fusion runs at
+            # ~110-220 GB/s here (device trace/microbench, DESIGN.md 6b);
+            # contracting with a ones-vector on the MXU (f32 accumulation,
+            # same math) measures 15-20% faster. Large maps prefer the
+            # plain reduce (374 vs 349 GB/s at 128x128) — keep both.
+            ones = jnp.ones((h * w,), x.dtype)
+            se = jax.lax.dot_general(
+                ones,
+                x.reshape(b, h * w, c),
+                (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) / (h * w)
+            se = se.reshape(b, 1, 1, c).astype(x.dtype)
+        else:
+            se = jnp.mean(x, axis=(1, 2), keepdims=True)  # (B,1,1,C)
         se = nn.Conv(
             self.num_reduced, (1, 1), kernel_init=conv_kernel_init,
             dtype=self.dtype, name="reduce",
