@@ -55,7 +55,8 @@ def parse_args(argv=None):
                        help="steps per epoch (default: dataset//batch)")
         q.add_argument("--lr", type=float, default=1e-3)
         q.add_argument("--snapshot", default=None,
-                       help="checkpoint dir to resume from")
+                       help="checkpoint dir to resume from, or 'imagenet' "
+                            "(reference semantics; needs converted weights)")
         q.add_argument("--snapshot-path", default="checkpoints")
         q.add_argument("--random-transform", action="store_true")
         q.add_argument("--compute-val-loss", action="store_true")
@@ -63,6 +64,9 @@ def parse_args(argv=None):
         q.add_argument("--image-size", type=int, default=None)
         q.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
         q.add_argument("--log-file", default=None)
+        q.add_argument("--tensorboard-dir", default=None,
+                       help="write scalar summaries as TF event files "
+                            "(reference TensorBoard callback)")
         q.add_argument("--no-eval", action="store_true")
         q.add_argument("--eval-every", type=int, default=1, help="epochs")
         q.add_argument("--reduce-lr-patience", type=int, default=2)
@@ -142,6 +146,16 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.seed)
     state = create_train_state(model, tc, rng)
     ckpt = CheckpointManager(args.snapshot_path)
+    if args.snapshot == "imagenet":
+        # Reference: download ImageNet-pretrained backbone weights by hash.
+        # This environment has no egress; import official weights offline
+        # with utils/convert.py and pass the resulting checkpoint dir.
+        raise SystemExit(
+            "--snapshot imagenet needs pretrained weights, which cannot be "
+            "downloaded here. Convert an official EfficientNet/EfficientDet "
+            "checkpoint with efficientdet_tpu.utils.convert and pass its "
+            "directory instead."
+        )
     if args.snapshot:
         state = CheckpointManager(args.snapshot).restore(state)
         print(f"resumed from {args.snapshot} at step {int(state.step)}")
@@ -164,6 +178,25 @@ def main(argv=None):
     log_path = args.log_file or os.path.join(args.snapshot_path, "train_log.jsonl")
     os.makedirs(os.path.dirname(log_path) or ".", exist_ok=True)
     logf = open(log_path, "a")
+
+    tb = None
+    if args.tensorboard_dir:
+        try:  # TF is only needed for event-file writing; degrade gracefully
+            import tensorflow as tf
+
+            tb = tf.summary.create_file_writer(args.tensorboard_dir)
+        except Exception as e:  # pragma: no cover - env without TF
+            print(f"tensorboard disabled ({e})", flush=True)
+
+    def tb_scalars(step, scalars):
+        if tb is None:
+            return
+        import tensorflow as tf
+
+        with tb.as_default(step=step):
+            for k, v in scalars.items():
+                if isinstance(v, (int, float)):
+                    tf.summary.scalar(k, v)
 
     lr_scale = 1.0
     best_map, bad_epochs = -1.0, 0
@@ -190,6 +223,7 @@ def main(argv=None):
                 print(json.dumps(m), flush=True)
                 logf.write(json.dumps(m) + "\n")
                 logf.flush()
+                tb_scalars(int(state.step), m)
                 agg = m
         # --- epoch end: eval + checkpoint + ReduceLROnPlateau ---
         epoch_metrics = {"loss": agg.get("loss", 0.0)}
@@ -242,6 +276,7 @@ def main(argv=None):
                 epoch_map = mean_ap(aps)
             epoch_metrics["mAP"] = epoch_map
             print(f"epoch {epoch}: mAP={epoch_map:.4f}", flush=True)
+            tb_scalars(int(state.step), epoch_metrics)
             if epoch_map > best_map:
                 best_map, bad_epochs = epoch_map, 0
             else:
