@@ -209,12 +209,22 @@ def anchor_targets(
     ignore = (best_iou >= negative_iou) & ~positive
     anchor_state = jnp.where(positive, 1.0, jnp.where(ignore, -1.0, 0.0))
 
-    matched_labels = jnp.take(gt_labels, best_gt, axis=0)
-    matched_boxes = jnp.take(gt_boxes, best_gt, axis=0)
-
-    safe_labels = jnp.clip(matched_labels, 0, num_classes - 1)
-    one_hot = jax.nn.one_hot(safe_labels, num_classes, dtype=jnp.float32)
-    cls_targets = jnp.where(positive[:, None], one_hot, 0.0)
+    # Select the matched GT row with a one-hot contraction instead of a
+    # gather: (A,)-indexed row gathers into tiny (G, .) tables lower to
+    # latency-bound scatter-gathers (22.5 ms/step at D0/b32, device trace);
+    # the (A, G) @ (G, .) form is sub-ms MXU work. argmax yields exactly
+    # one match per row, so the sums select single rows.
+    g = gt_boxes.shape[0]
+    sel = (
+        best_gt[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
+    ).astype(jnp.float32)  # (A, G) one-hot of the matched GT
+    matched_boxes = sel @ gt_boxes.astype(jnp.float32)  # (A, 4)
+    label_oh = jax.nn.one_hot(
+        jnp.clip(gt_labels, 0, num_classes - 1),
+        num_classes,
+        dtype=jnp.float32,
+    )  # (G, C)
+    cls_targets = jnp.where(positive[:, None], sel @ label_oh, 0.0)
     box_targets = encode_boxes(matched_boxes, anchors)
     box_targets = jnp.where(positive[:, None], box_targets, 0.0)
     return cls_targets, box_targets, anchor_state
