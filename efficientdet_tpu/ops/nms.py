@@ -331,12 +331,22 @@ def _pairs_and_suppress(
     k = min(config.pre_nms_top_k, k_anchor * c_keep)
     flat = keep_vals.reshape(bsz, -1)
     flat = jnp.where(flat > logit_thr, flat, jnp.asarray(_NEG_INF, flat.dtype))
-    top_logits, top_idx = jax.lax.top_k(flat, k)  # (B, K)
-    top_logits = top_logits.astype(jnp.float32)
-    pair_anchor = top_idx // c_keep
-    pair_class = jnp.take_along_axis(
-        keep_cls.reshape(bsz, -1), top_idx, axis=1
-    ).astype(jnp.int32)
+    # Sort with the anchor/class ids as PAYLOADS instead of top_k + gathers:
+    # the (B, K) take_along_axis that recovers pair_class lowered to a
+    # latency-bound gather (~1.3 ms/step at b128, device trace), while XLA
+    # lowers top_k as a full sort anyway — payload columns ride that sort.
+    anchor_ids = jnp.broadcast_to(
+        jnp.arange(k_anchor, dtype=jnp.int32)[:, None], (k_anchor, c_keep)
+    ).reshape(-1)
+    anchor_ids = jnp.broadcast_to(anchor_ids, flat.shape)
+    sneg, s_anchor, s_cls = jax.lax.sort(
+        (-flat, anchor_ids, keep_cls.reshape(bsz, -1).astype(jnp.int32)),
+        dimension=1,
+        num_keys=1,
+    )
+    top_logits = (-sneg[:, :k]).astype(jnp.float32)
+    pair_anchor = s_anchor[:, :k]
+    pair_class = s_cls[:, :k]
     cand_boxes = jnp.take_along_axis(
         cand_boxes_a, pair_anchor[..., None], axis=1
     )  # (B, K, 4)
@@ -454,12 +464,15 @@ def batched_filter_from_anchor_major_levels(
         a_sel = jnp.where(in_lvl, a_i, a_sel)
         off += n
 
-    # slice the per-anchor (4,) delta out of the (A*4,) pixel row
-    cand_deltas = jnp.take_along_axis(
-        cand_rows.reshape(bsz, k_anchor, a_cell, 4),
-        a_sel[..., None, None],
-        axis=2,
-    )[:, :, 0, :].astype(jnp.float32)
+    # slice the per-anchor (4,) delta out of the (A*4,) pixel row; a
+    # one-hot contraction (exact: 0/1 weights) beats the equivalent
+    # take_along_axis, which lowered to a ~1.1 ms latency-bound gather
+    sel = jax.nn.one_hot(a_sel, a_cell, dtype=jnp.float32)  # (B, K, A)
+    cand_deltas = jnp.einsum(
+        "bka,bkad->bkd",
+        sel,
+        cand_rows.reshape(bsz, k_anchor, a_cell, 4).astype(jnp.float32),
+    )
     cand_anchors = jnp.take(anchors.astype(jnp.float32), table_id, axis=0)
     cand_boxes_a = clip_boxes(
         decode_boxes(cand_deltas, cand_anchors), image_hw
