@@ -183,11 +183,45 @@ def random_visual_effect(
     hue_range=(-0.05, 0.05),
     saturation_range=(0.95, 1.05),
 ) -> np.ndarray:
-    image = adjust_contrast(image, rng.uniform(*contrast_range))
-    image = adjust_brightness(image, rng.uniform(*brightness_range))
-    image = adjust_hue(image, rng.uniform(*hue_range))
-    image = adjust_saturation(image, rng.uniform(*saturation_range))
-    return image
+    """contrast -> brightness -> hue -> saturation, as the reference chains.
+
+    Fused fast path (the host is often a single core and this was ~30 ms of
+    float passes per image): contrast+brightness collapse into one
+    per-channel 256-entry LUT — exact, including both intermediate clips,
+    since a LUT tabulates the full composition per input value — and
+    hue+saturation share one HSV round trip (the sequential form's extra
+    HSV->RGB->HSV bounce only adds quantisation noise).
+    """
+    import cv2
+
+    contrast = rng.uniform(*contrast_range)
+    brightness = rng.uniform(*brightness_range)
+    hue = rng.uniform(*hue_range)
+    saturation = rng.uniform(*saturation_range)
+
+    # one LUT per channel: clip(clip((v - m) * f + m) + delta * 255)
+    mean = image.reshape(-1, 3).mean(axis=0)  # (3,)
+    v = np.arange(256, dtype=np.float32)[:, None]  # (256, 1)
+    lut = np.clip((v - mean) * contrast + mean, 0, 255)
+    lut = np.clip(lut + brightness * 255.0, 0, 255).astype(np.uint8)  # (256, 3)
+    image = cv2.LUT(image, lut.reshape(1, 256, 3))
+
+    # hue/saturation as one 3-channel LUT over the HSV image (H: add mod
+    # 180, S: scale+clip, V: identity) — no float passes at all
+    vi = np.arange(256, dtype=np.int32)
+    lut_hsv = np.stack(
+        [
+            ((vi + int(hue * 180)) % 180).astype(np.uint8),
+            np.clip(vi.astype(np.float32) * saturation, 0, 255).astype(
+                np.uint8
+            ),
+            vi.astype(np.uint8),
+        ],
+        axis=1,
+    )  # (256, 3)
+    hsv = cv2.cvtColor(image, cv2.COLOR_RGB2HSV)
+    hsv = cv2.LUT(hsv, lut_hsv.reshape(1, 256, 3))
+    return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
 
 
 # ---------------------------------------------------------------------------

@@ -104,6 +104,7 @@ def batch_iterator(
     seed: int = 0,
     group_by_aspect: bool = False,
     drop_last: bool = True,
+    workers: int = 0,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yield fixed-shape training/eval batches.
 
@@ -113,9 +114,21 @@ def batch_iterator(
       gt_labels: (B, max_gt) int32, -1 padded,
       scales: (B,) float32 letterbox scale per image,
       indices: (B,) int32 dataset indices.
+
+    ``workers > 0`` decodes/augments/letterboxes the batch's images in a
+    thread pool (cv2/PIL release the GIL) — the analog of the reference's
+    ``fit_generator`` multiprocessing workers. Augmentation then draws from
+    per-image seeds (derived from the iterator RNG) instead of one shared
+    sequential stream, so augmented pixel streams differ from ``workers=0``
+    while remaining deterministic for a given seed.
     """
     rng = np.random.RandomState(seed)
     n = len(dataset)
+    pool = None
+    if workers > 0:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=workers)
 
     def order():
         idx = np.arange(n)
@@ -149,14 +162,19 @@ def batch_iterator(
             gt_boxes = np.zeros((batch_size, max_gt, 4), np.float32)
             gt_labels = np.full((batch_size, max_gt), -1, np.int32)
             scales = np.zeros((batch_size,), np.float32)
-            for bi, di in enumerate(chunk):
+
+            def load_one(bi, di, aug_seed):
                 img = dataset.load_image(int(di))
                 boxes, labels = dataset.load_annotations(int(di))
                 boxes, labels = dataset.filter_annotations(
                     boxes, labels, img.shape[:2]
                 )
                 if augment is not None:
-                    img, boxes = augment(rng, img, boxes)
+                    aug_rng = (
+                        rng if aug_seed is None
+                        else np.random.RandomState(aug_seed)
+                    )
+                    img, boxes = augment(aug_rng, img, boxes)
                     boxes, labels = dataset.filter_annotations(
                         boxes, labels, img.shape[:2]
                     )
@@ -167,6 +185,13 @@ def batch_iterator(
                 if k:
                     gt_boxes[bi, :k] = boxes[:k] * scale
                     gt_labels[bi, :k] = labels[:k]
+
+            if pool is not None:
+                seeds = rng.randint(0, 2**31 - 1, size=len(chunk))
+                list(pool.map(load_one, range(len(chunk)), chunk, seeds))
+            else:
+                for bi, di in enumerate(chunk):
+                    load_one(bi, di, None)
             yield {
                 "images": images,
                 "gt_boxes": gt_boxes,

@@ -71,6 +71,9 @@ def parse_args(argv=None):
         q.add_argument("--eval-every", type=int, default=1, help="epochs")
         q.add_argument("--reduce-lr-patience", type=int, default=2)
         q.add_argument("--reduce-lr-factor", type=float, default=0.1)
+        q.add_argument("--workers", type=int, default=0,
+                       help="host data-loading threads per batch "
+                            "(reference fit_generator workers)")
         q.add_argument("--seed", type=int, default=0)
         q.add_argument("--debug-nans", action="store_true",
                        help="enable jax_debug_nans (SURVEY.md SS5 sanitizers)")
@@ -171,6 +174,7 @@ def main(argv=None):
         batch_iterator(
             train_ds, args.batch_size, target_size=size, max_gt=args.max_gt,
             shuffle=True, repeat=True, augment=augment, seed=args.seed,
+            workers=args.workers,
         ),
         size=2,
     )
