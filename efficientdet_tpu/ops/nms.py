@@ -42,6 +42,13 @@ from efficientdet_tpu.configs import EvalConfig
 _NEG_INF = -1e9
 
 
+def _logit(p: float) -> float:
+    """log(p/(1-p)) with p<=0 mapping to an always-true threshold."""
+    if p <= 0.0:
+        return _NEG_INF / 2
+    return float(np.log(p / (1.0 - p)))
+
+
 def _fixpoint_suppress(sup: jax.Array, valid: jax.Array) -> jax.Array:
     """Greedy-NMS keep mask via fixpoint iteration.
 
@@ -187,7 +194,7 @@ def filter_detections_from_logits(
     from efficientdet_tpu.anchors import clip_boxes, decode_boxes
 
     num_anchors, num_classes = cls_logits.shape
-    logit_thr = float(np.log(score_threshold / (1.0 - score_threshold)))
+    logit_thr = _logit(score_threshold)
 
     # Stay in the model dtype (bf16) through the max + gather — casting the
     # full (A, C) tensor to f32 first materialises gigabytes at batch scale
@@ -313,9 +320,7 @@ def _pairs_and_suppress(
     decoded+clipped candidate-anchor boxes.
     """
     bsz, k_anchor, _ = cand_logits.shape
-    logit_thr = float(
-        np.log(config.score_threshold / (1.0 - config.score_threshold))
-    )
+    logit_thr = _logit(config.score_threshold)
 
     # Per-anchor class cap: a row sort over C beats the flat K*C sort by ~3x
     # (see EvalConfig.per_anchor_top_c).

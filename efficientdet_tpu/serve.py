@@ -1,0 +1,230 @@
+"""Batched serving front-end: production inference over the fused pipeline.
+
+The reference repo's deployment story ends at ``inference.py`` (single-image
+script, SURVEY.md SS2 "Inference demo"). A TPU earns its keep at batch size,
+so this module adds the production-serving piece a user of the reference
+would otherwise hand-roll:
+
+* :class:`BatchingPredictor` — thread-safe micro-batching around ONE
+  compiled predict program: concurrent callers submit single images, a
+  collector thread packs them into a fixed-shape batch (padding partial
+  batches), runs the fused on-device pipeline (normalise -> forward ->
+  decode -> NMS), and resolves per-caller futures with boxes mapped back to
+  original image coordinates.
+* ``python -m efficientdet_tpu.serve`` — a minimal stdlib HTTP endpoint
+  (POST /predict with a JPEG/PNG body -> JSON detections) wired to it.
+
+Static shapes rule: every request is letterboxed on the host to the model
+resolution, so one XLA program serves all traffic.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+class BatchingPredictor:
+    """Micro-batching wrapper over the jitted predict function.
+
+    Args:
+      model / variables: as returned by ``build_efficientdet`` + init (pass
+        BN-folded variables for production speed, see ``fuse_for_inference``).
+      batch_size: static batch of the single compiled program.
+      max_delay_ms: how long the collector waits to fill a batch before
+        flushing a partial one (padded to ``batch_size``).
+      eval_config: detection filtering parameters.
+    """
+
+    def __init__(
+        self,
+        model,
+        variables,
+        batch_size: int = 16,
+        max_delay_ms: float = 5.0,
+        eval_config=None,
+    ):
+        import jax
+
+        from efficientdet_tpu.configs import EvalConfig
+        from efficientdet_tpu.models.detector import predict_pipeline
+
+        self.model = model
+        self.variables = variables
+        self.batch_size = batch_size
+        self.max_delay = max_delay_ms / 1e3
+        self.size = model.config.image_size
+        ec = eval_config or EvalConfig()
+        self._predict = jax.jit(
+            lambda v, im: predict_pipeline(model, v, im, ec)
+        )
+        self._queue: "queue.Queue" = queue.Queue()
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def predict(self, image: np.ndarray) -> Future:
+        """Submit one (H, W, 3) RGB uint8 image; returns a Future.
+
+        The future resolves to ``(boxes (N, 4) xyxy in input coords,
+        scores (N,), classes (N,))`` with only valid detections included.
+        """
+        if self._closed:
+            raise RuntimeError("predictor closed")
+        from efficientdet_tpu.data.common import letterbox_hostside
+
+        canvas, scale = letterbox_hostside(image, self.size)
+        fut: Future = Future()
+        self._queue.put((canvas, scale, fut))
+        return fut
+
+    def predict_sync(self, image: np.ndarray, timeout: Optional[float] = 30.0):
+        """Blocking convenience wrapper around :meth:`predict`."""
+        return self.predict(image).result(timeout=timeout)
+
+    def close(self):
+        self._closed = True
+        self._queue.put(None)
+        self._worker.join(timeout=10)
+
+    # -- collector -------------------------------------------------------
+
+    def _run(self):
+        while True:
+            item = self._queue.get()
+            if item is None:
+                return
+            batch: List[Tuple[np.ndarray, float, Future]] = [item]
+            # fill up to batch_size, waiting at most max_delay
+            import time
+
+            deadline = time.monotonic() + self.max_delay
+            while len(batch) < self.batch_size:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._flush(batch)
+                    return
+                batch.append(nxt)
+            self._flush(batch)
+
+    def _flush(self, batch):
+        images = np.zeros(
+            (self.batch_size, self.size, self.size, 3), np.uint8
+        )
+        for i, (canvas, _, _) in enumerate(batch):
+            images[i] = canvas
+        try:
+            boxes, scores, classes, nvalid = self._predict(
+                self.variables, images
+            )
+            boxes = np.asarray(boxes)
+            scores = np.asarray(scores)
+            classes = np.asarray(classes)
+            nvalid = np.asarray(nvalid)
+        except Exception as e:  # resolve all futures with the error
+            for _, _, fut in batch:
+                fut.set_exception(e)
+            return
+        for i, (_, scale, fut) in enumerate(batch):
+            n = int(nvalid[i])
+            fut.set_result(
+                (
+                    boxes[i, :n] / scale,  # back to input coordinates
+                    scores[i, :n],
+                    classes[i, :n],
+                )
+            )
+
+
+def main(argv=None):
+    """Minimal HTTP serving CLI: POST an image to /predict -> JSON."""
+    import argparse
+    import io
+    import json
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    import jax
+    import jax.numpy as jnp
+
+    p = argparse.ArgumentParser(description="Serve an EfficientDet model.")
+    p.add_argument("--phi", type=int, default=0, choices=range(8))
+    p.add_argument("--checkpoint", default=None, help="orbax params dir")
+    p.add_argument("--num-classes", type=int, default=90)
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--max-delay-ms", type=float, default=5.0)
+    p.add_argument("--score-threshold", type=float, default=0.3)
+    args = p.parse_args(argv)
+
+    import efficientdet_tpu as ed
+    from efficientdet_tpu.configs import EvalConfig
+    from efficientdet_tpu.models.detector import fuse_for_inference
+
+    model, cfg = ed.build_efficientdet(
+        args.phi, num_classes=args.num_classes, dtype=jnp.bfloat16
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
+    )
+    if args.checkpoint:
+        from efficientdet_tpu.utils.checkpoint import load_params
+
+        variables = load_params(args.checkpoint, variables)
+    model, variables = fuse_for_inference(model, variables)
+    predictor = BatchingPredictor(
+        model,
+        variables,
+        batch_size=args.batch_size,
+        max_delay_ms=args.max_delay_ms,
+        eval_config=EvalConfig(score_threshold=args.score_threshold),
+    )
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            if self.path != "/predict":
+                self.send_error(404)
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            from PIL import Image
+
+            img = np.asarray(Image.open(io.BytesIO(body)).convert("RGB"))
+            boxes, scores, classes = predictor.predict_sync(img)
+            out = json.dumps(
+                {
+                    "detections": [
+                        {
+                            "box": [round(float(x), 2) for x in b],
+                            "score": round(float(s), 4),
+                            "class": int(c),
+                        }
+                        for b, s, c in zip(boxes, scores, classes)
+                    ]
+                }
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    server = ThreadingHTTPServer(("0.0.0.0", args.port), Handler)
+    print(f"serving EfficientDet-D{args.phi} on :{args.port}/predict", flush=True)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -33,6 +33,16 @@ def trace(log_dir: str = "/tmp/jax-trace"):
         jax.profiler.stop_trace()
 
 
+def start_server(port: int = 9999):
+    """Start the live jax.profiler server (attach TensorBoard/Perfetto).
+
+    SURVEY.md SS5 "Tracing / profiling": the on-demand capture companion to
+    :func:`trace` — run once at startup, then capture windows remotely.
+    Returns the server object (keep a reference alive).
+    """
+    return jax.profiler.start_server(port)
+
+
 class StepTimer:
     """Throughput meter: ``tick()`` per step, ``rate()`` -> items/s/chip."""
 
