@@ -68,13 +68,16 @@ class _PointwiseDot(nn.Module):
     bias_init: Any = nn.initializers.zeros
 
     @nn.compact
-    def __call__(self, y: jax.Array):
+    def __call__(self, rows: jax.Array):
+        """rows (M, Cin) -> (z (A, Mp, out), amax (A, Mp), M) when
+        ``split_anchors`` else (Mp, features). Mp pads M to the kernel row
+        tile; padded rows are bias-only garbage and must not be selected."""
         from efficientdet_tpu.ops.head_pallas import (
             head_pointwise_anchor_major,
             head_pointwise_reference,
         )
 
-        b, h, w, cin = y.shape
+        cin = rows.shape[-1]
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
@@ -84,7 +87,6 @@ class _PointwiseDot(nn.Module):
         bias = self.param(
             "bias", self.bias_init, (self.features,), jnp.float32
         )
-        flat = y.astype(self.dtype).reshape(b * h * w, cin)
         k2d = kernel.reshape(cin, self.features)
         fn = (
             head_pointwise_anchor_major
@@ -92,20 +94,9 @@ class _PointwiseDot(nn.Module):
             else head_pointwise_reference
         )
         if self.split_anchors:
-            a = self.num_anchors
-            hw = h * w
-            z, amax, m = fn(flat, k2d, bias, a)
-            # (A, Mp) -> per-image (B, A*HW): slice padded rows, lift the
-            # anchor plane above the pixel index (major-dim moves, cheap)
-            amax_img = (
-                amax[:, :m]
-                .reshape(a, b, hw)
-                .transpose(1, 0, 2)
-                .reshape(b, a * hw)
-            )
-            return z, amax_img
-        z, _, _ = fn(flat, k2d, bias, 1)
-        return z[0]  # (Mp, A*4) pixel rows; padded rows never gathered
+            return fn(rows.astype(self.dtype), k2d, bias, self.num_anchors)
+        z, _, _ = fn(rows.astype(self.dtype), k2d, bias, 1)
+        return z[0]  # (Mp, A*4) pixel rows
 
 
 class _FinalConv(nn.Module):
@@ -128,6 +119,18 @@ class _FinalConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, mode: str = "conv") -> jax.Array:
+        if mode in ("pw_anchor_major", "pw_pixel_major"):
+            # x is (M, Cin) rows — the concatenation of every level's
+            # depthwise output — so ONE kernel launch serves all levels
+            # and the NMS front-end gathers from ONE buffer.
+            return _PointwiseDot(
+                features=self.features,
+                num_anchors=self.num_anchors,
+                split_anchors=(mode == "pw_anchor_major"),
+                dtype=self.dtype,
+                bias_init=self.bias_init,
+                name="pointwise",
+            )(x)
         in_ch = x.shape[-1]
         x = nn.Conv(
             in_ch,
@@ -138,18 +141,12 @@ class _FinalConv(nn.Module):
             dtype=self.dtype,
             name="depthwise",
         )(x)
-        if mode == "conv":
-            return nn.Conv(
-                self.features, (1, 1), use_bias=True, dtype=self.dtype,
-                bias_init=self.bias_init, name="pointwise",
-            )(x)
-        return _PointwiseDot(
-            features=self.features,
-            num_anchors=self.num_anchors,
-            split_anchors=(mode == "anchor_major"),
-            dtype=self.dtype,
-            bias_init=self.bias_init,
-            name="pointwise",
+        if mode == "dw":
+            return x
+        assert mode == "conv", mode
+        return nn.Conv(
+            self.features, (1, 1), use_bias=True, dtype=self.dtype,
+            bias_init=self.bias_init, name="pointwise",
         )(x)
 
 
@@ -202,12 +199,10 @@ class _Head(nn.Module):
             bias_init=self.final_bias_init or nn.initializers.zeros,
             name="final",
         )
-        final_mode = "conv"
-        if return_anchor_major_levels:
-            final_mode = (
-                "anchor_major" if self.anchor_major_split else "pixel_major"
-            )
         outputs = []
+        rows = []
+        hws = []
+        bsz = feats[0].shape[0]
         for lvl, x in enumerate(feats):
             for i in range(self.depth):
                 if self.fuse_bn:
@@ -226,18 +221,47 @@ class _Head(nn.Module):
                         name=f"bn_l{lvl}_d{i}",
                     )(x).astype(self.dtype)
                 x = nn.swish(x)
-            x = final(x, mode=final_mode)
-            if return_raw_levels or return_anchor_major_levels:
-                # raw: (B, H, W, A*out) conv layout; anchor-major:
-                # (B, H*W*A, out) [class] / (B, H*W, A*out) [box]
-                outputs.append(x)
+            if return_anchor_major_levels:
+                # final depthwise per level (shared weights); the pointwise
+                # runs ONCE below over every level's rows concatenated.
+                d = final(x, mode="dw")
+                b, h, w, cin = d.shape
+                rows.append(d.reshape(b * h * w, cin))
+                hws.append(h * w)
+                continue
+            x = final(x, mode="conv")
+            if return_raw_levels:
+                outputs.append(x)  # (B, H, W, A*out) conv layout
                 continue
             b, h, w, _ = x.shape
             outputs.append(x.reshape(b, h * w * self.num_anchors, self.num_outputs))
-        if return_raw_levels or return_anchor_major_levels:
+        if return_anchor_major_levels:
+            allrows = jnp.concatenate(rows, axis=0)  # (M_tot, Cin)
+            if not self.anchor_major_split:
+                zb = final(allrows, mode="pw_pixel_major")  # (Mp_tot, A*4)
+                return zb, tuple(hws)
+            a = self.num_anchors
+            z, amax, m = final(allrows, mode="pw_anchor_major")
+            # assemble the per-image best-class vector (B, A_total):
+            # slice each level's span of amax (A, Mp_tot), lift the anchor
+            # plane above the pixel index (major-dim moves, cheap — these
+            # are small tensors)
+            parts = []
+            off = 0
+            for hw in hws:
+                seg = (
+                    amax[:, off : off + bsz * hw]
+                    .reshape(a, bsz, hw)
+                    .transpose(1, 0, 2)
+                    .reshape(bsz, a * hw)
+                )
+                parts.append(seg)
+                off += bsz * hw
+            amax_img = jnp.concatenate(parts, axis=1)  # (B, A_total)
+            return z, amax_img, tuple(hws)
+        if return_raw_levels:
             # NHWC conv layout, no anchor-major reshape: the per-level NMS
-            # prefilter consumes this directly (the reshape+concat to
-            # (B, A, C) cost ~10 ms/step at D0/b128 per the device trace).
+            # prefilter consumes this directly.
             return outputs
         return jnp.concatenate(outputs, axis=1)  # (B, A_total, num_outputs)
 

@@ -402,22 +402,28 @@ def _pairs_and_suppress(
 
 def batched_filter_from_anchor_major_levels(
     anchors: jax.Array,
-    box_levels,
-    cls_levels,
+    box_out,
+    cls_out,
     image_hw: Tuple[int, int],
     config: EvalConfig = EvalConfig(),
     use_pallas: bool | None = None,
 ):
-    """NMS front-end over anchor-major head outputs (the fast path).
+    """NMS front-end over the fused head kernel's outputs (the fast path).
 
-    Consumes the heads' ``return_anchor_major_levels`` outputs built by the
-    fused Pallas pointwise kernel (ops/head_pallas.py): per level the class
-    head yields ``(z (A, Mp, C), amax (B, A*HW))`` anchor-planed logits plus
-    the per-anchor best-class logit, and the box head yields ``(Mp_b, A*4)``
-    pixel rows (Mp = B*HW padded to the kernel row tile; padded rows are
-    never gathered). Compared to the concat path this removes the
-    (B, A_total, C) materialisation, the batch-minor -> batch-major retiles
-    XLA otherwise inserts, and the separate class-max read — together the
+    Consumes the heads' ``return_anchor_major_levels`` outputs built by ONE
+    Pallas pointwise launch over the concatenation of every level's
+    depthwise rows (ops/head_pallas.py):
+
+      cls_out = (z (A, Mp_tot, C), amax_img (B, A_total), hws)
+      box_out = (zb (Mp_tot, A*4), hws)
+
+    where row ``r = level_row_off + b*HW_l + p`` holds pixel (b, p) of level
+    l, Mp_tot pads the total row count to the kernel row tile (padded rows
+    are never selected), and amax_img is the per-image best-class logit per
+    anchor in level-major (a-major, pixel) order. Compared to the concat
+    path this removes the (B, A_total, C) materialisation, the batch-minor
+    -> batch-major retiles XLA otherwise inserts, the separate class-max
+    read, and needs only TWO row gathers (one logits, one box rows) — the
     dominant NMS front-end costs in the device trace at D0/b128.
 
     Output detections are identical to :func:`batched_filter_from_logits`
@@ -428,47 +434,44 @@ def batched_filter_from_anchor_major_levels(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
 
-    a_cell, _, num_classes = cls_levels[0][0].shape
-    bsz = cls_levels[0][1].shape[0]
+    z, amax_img, hws = cls_out
+    zb, _ = box_out
+    a_cell, mp_tot, num_classes = z.shape
+    bsz, total = amax_img.shape
 
-    # per-anchor best-class logits came fused out of the head kernel
-    anchor_best = jnp.concatenate(
-        [amax for _, amax in cls_levels], axis=1
-    )  # (B, A_total) model dtype, (a, p) a-major order within each level
-    total = anchor_best.shape[1]
     k_anchor = min(config.pre_nms_top_k, total)
-    top_anchor = _anchor_topk_indices(anchor_best, k_anchor, config)  # (B, Ka)
+    top_anchor = _anchor_topk_indices(amax_img, k_anchor, config)  # (B, Ka)
 
-    cand_logits = jnp.zeros(
-        (bsz, k_anchor, num_classes), cls_levels[0][0].dtype
-    )
-    cand_rows = jnp.zeros(
-        (bsz, k_anchor, a_cell * 4), box_levels[0].dtype
-    )
-    # translate the (a-major, pixel) selection ids back to the level-major
-    # (pixel, anchor) ids the anchors table uses
+    # decompose each selection id into (level, anchor-in-cell, pixel) and
+    # precompute the two gather rows + the anchors-table id — pure index
+    # arithmetic on (B, Ka) tensors, no data movement
+    zrow = jnp.zeros_like(top_anchor)
+    brow = jnp.zeros_like(top_anchor)
     table_id = jnp.zeros_like(top_anchor)
     a_sel = jnp.zeros_like(top_anchor)
-    b_base = jnp.arange(bsz, dtype=top_anchor.dtype)[:, None]  # (B, 1)
+    b_base = jnp.arange(bsz, dtype=top_anchor.dtype)[:, None]
     off = 0
-    for (z, amax), zb in zip(cls_levels, box_levels):
-        n = amax.shape[1]  # A * HW
-        hw = n // a_cell
-        mp = z.shape[1]
+    row_off = 0
+    for hw in hws:
+        n = a_cell * hw
         local = top_anchor - off
         in_lvl = (local >= 0) & (local < n)
         li = jnp.clip(local, 0, n - 1)
         a_i = li // hw
         p_i = li % hw
-        rows = a_i * mp + b_base * hw + p_i  # into (A*Mp, C) flat planes
-        got_c = jnp.take(z.reshape(-1, num_classes), rows, axis=0)
-        cand_logits = jnp.where(in_lvl[..., None], got_c, cand_logits)
-        got_b = jnp.take(zb, b_base * hw + p_i, axis=0)  # (B, Ka, A*4)
-        cand_rows = jnp.where(in_lvl[..., None], got_b, cand_rows)
+        row = row_off + b_base * hw + p_i
+        zrow = jnp.where(in_lvl, a_i * mp_tot + row, zrow)
+        brow = jnp.where(in_lvl, row, brow)
+        # anchors_for_shape orders level-major, then (pixel, anchor)
         table_id = jnp.where(in_lvl, off + p_i * a_cell + a_i, table_id)
         a_sel = jnp.where(in_lvl, a_i, a_sel)
         off += n
+        row_off += bsz * hw
 
+    cand_logits = jnp.take(
+        z.reshape(-1, num_classes), zrow, axis=0
+    )  # (B, Ka, C) — ONE row gather
+    cand_rows = jnp.take(zb, brow, axis=0)  # (B, Ka, A*4) — ONE row gather
     # slice the per-anchor (4,) delta out of the (A*4,) pixel row; a
     # one-hot contraction (exact: 0/1 weights) beats the equivalent
     # take_along_axis, which lowered to a ~1.1 ms latency-bound gather

@@ -280,18 +280,24 @@ class TestAnchorMajorFrontEnd:
         rng = np.random.RandomState(0)
         B, A, C = 3, 9, 20
         hw = [(size // s) ** 2 for s in (8, 16, 32, 64, 128)]
-        cls_levels, box_levels, cls_cat, box_cat = [], [], [], []
+        zs, amaxes, zbs, cls_cat, box_cat = [], [], [], [], []
         for n in hw:
             lg = jnp.asarray(2.0 * rng.randn(B, n, A, C).astype(np.float32))
             bx = jnp.asarray(0.1 * rng.randn(B, n, A, 4).astype(np.float32))
-            # kernel contract: z (A, B*HW, C); amax (B, A*HW); zb (B*HW, A*4)
-            z = lg.transpose(2, 0, 1, 3).reshape(A, B * n, C)
-            amax = lg.max(-1).transpose(0, 2, 1).reshape(B, A * n)
-            zb = bx.reshape(B * n, A * 4)
-            cls_levels.append((z, amax))
-            box_levels.append(zb)
+            # kernel contract (one buffer over all levels, see
+            # ops/head_pallas.py): z rows are level-major (b*HW+p), planes
+            # are anchors; amax_img is (B, A*HW) a-major per level
+            zs.append(lg.transpose(2, 0, 1, 3).reshape(A, B * n, C))
+            amaxes.append(lg.max(-1).transpose(0, 2, 1).reshape(B, A * n))
+            zbs.append(bx.reshape(B * n, A * 4))
             cls_cat.append(lg.reshape(B, n * A, C))
             box_cat.append(bx.reshape(B, n * A, 4))
+        cls_out = (
+            jnp.concatenate(zs, 1),
+            jnp.concatenate(amaxes, 1),
+            tuple(hw),
+        )
+        box_out = (jnp.concatenate(zbs, 0), tuple(hw))
         anchors = jnp.asarray(anchors_for_shape((size, size), cfg.anchor))
         ec = EvalConfig(pre_nms_top_k=256, approx_anchor_prefilter=False)
         want = batched_filter_from_logits(
@@ -303,7 +309,7 @@ class TestAnchorMajorFrontEnd:
             use_pallas=False,
         )
         got = batched_filter_from_anchor_major_levels(
-            anchors, box_levels, cls_levels, (size, size), ec,
+            anchors, box_out, cls_out, (size, size), ec,
             use_pallas=False,
         )
         for w, g in zip(want, got):
