@@ -19,6 +19,8 @@ from efficientdet_tpu.anchors import (
     anchors_for_shape,
     anchor_targets,
     anchor_targets_batch,
+    anchor_targets_batch_compact,
+    anchor_targets_compact,
     clip_boxes,
     decode_boxes,
     encode_boxes,

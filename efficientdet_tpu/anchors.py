@@ -174,11 +174,10 @@ def clip_boxes(boxes: jax.Array, image_hw: Tuple[int, int]) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def anchor_targets(
+def anchor_targets_compact(
     anchors: jax.Array,
     gt_boxes: jax.Array,
     gt_labels: jax.Array,
-    num_classes: int,
     positive_iou: float = 0.5,
     negative_iou: float = 0.4,
 ):
@@ -189,12 +188,15 @@ def anchor_targets(
       gt_boxes: (G, 4) xyxy, padded with zeros; a row with ``gt_labels < 0``
         is padding and never matches.
       gt_labels: (G,) int32, -1 for padding.
-      num_classes: C.
       positive_iou / negative_iou: matching thresholds
         (SURVEY.md SS2 "Anchors": IoU>=0.5 pos, <0.4 neg, else ignore).
 
     Returns:
-      cls_targets: (A, C) float32 one-hot (zeros for negatives/ignored).
+      cls_labels: (A,) int32 matched class per positive anchor, -1 elsewhere.
+        The (A, C) one-hot the losses need is regenerated on the fly inside
+        their fused elementwise chains (losses.focal_loss) — materialising it
+        here would write + re-read a (B, A, C) tensor (~1.1 GB/step at
+        D0/b64) for no information the integer label doesn't carry.
       box_targets: (A, 4) float32 encoded regression targets.
       anchor_state: (A,) float32 in {-1 ignore, 0 negative, 1 positive} —
         the reference's extra "state" channel, kept as a separate tensor.
@@ -213,20 +215,53 @@ def anchor_targets(
     # gather: (A,)-indexed row gathers into tiny (G, .) tables lower to
     # latency-bound scatter-gathers (22.5 ms/step at D0/b32, device trace);
     # the (A, G) @ (G, .) form is sub-ms MXU work. argmax yields exactly
-    # one match per row, so the sums select single rows.
+    # one match per row, so the sums select single rows. The class label
+    # rides the same contraction as a 5th payload column (+1 so padding
+    # rows contribute 0, never a spurious class 0).
     g = gt_boxes.shape[0]
     sel = (
         best_gt[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
     ).astype(jnp.float32)  # (A, G) one-hot of the matched GT
-    matched_boxes = sel @ gt_boxes.astype(jnp.float32)  # (A, 4)
-    label_oh = jax.nn.one_hot(
-        jnp.clip(gt_labels, 0, num_classes - 1),
-        num_classes,
-        dtype=jnp.float32,
-    )  # (G, C)
-    cls_targets = jnp.where(positive[:, None], sel @ label_oh, 0.0)
+    payload = jnp.concatenate(
+        [
+            gt_boxes.astype(jnp.float32),
+            (gt_labels + 1).astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )  # (G, 5)
+    matched = sel @ payload  # (A, 5)
+    matched_boxes = matched[:, :4]
+    # round() guards against sub-ulp error if XLA lowers the f32 dot to a
+    # split-bf16 MXU form (int32 cast truncates).
+    matched_labels = jnp.round(matched[:, 4]).astype(jnp.int32) - 1  # (A,)
+    cls_labels = jnp.where(positive, matched_labels, -1)
     box_targets = encode_boxes(matched_boxes, anchors)
     box_targets = jnp.where(positive[:, None], box_targets, 0.0)
+    return cls_labels, box_targets, anchor_state
+
+
+def anchor_targets(
+    anchors: jax.Array,
+    gt_boxes: jax.Array,
+    gt_labels: jax.Array,
+    num_classes: int,
+    positive_iou: float = 0.5,
+    negative_iou: float = 0.4,
+):
+    """One-hot variant of :func:`anchor_targets_compact` (reference
+    ``anchor_targets_bbox`` shape contract: (A, C) one-hot cls targets).
+
+    The train step uses the compact form; this wrapper serves tests and any
+    caller wanting the reference's exact tensor layout.
+    """
+    cls_labels, box_targets, anchor_state = anchor_targets_compact(
+        anchors, gt_boxes, gt_labels, positive_iou, negative_iou
+    )
+    cls_targets = jax.nn.one_hot(
+        jnp.where(cls_labels < 0, num_classes, cls_labels),
+        num_classes + 1,
+        dtype=jnp.float32,
+    )[:, :num_classes]
     return cls_targets, box_targets, anchor_state
 
 
@@ -242,6 +277,26 @@ def anchor_targets_batch(
     fn = functools.partial(
         anchor_targets,
         num_classes=num_classes,
+        positive_iou=positive_iou,
+        negative_iou=negative_iou,
+    )
+    return jax.vmap(fn, in_axes=(None, 0, 0))(anchors, gt_boxes, gt_labels)
+
+
+def anchor_targets_batch_compact(
+    anchors: jax.Array,
+    gt_boxes: jax.Array,
+    gt_labels: jax.Array,
+    positive_iou: float = 0.5,
+    negative_iou: float = 0.4,
+):
+    """vmap of :func:`anchor_targets_compact` over a batch dimension.
+
+    Returns (cls_labels (B, A) int32, box_targets (B, A, 4),
+    anchor_state (B, A)) — the train step's form; the one-hot never exists.
+    """
+    fn = functools.partial(
+        anchor_targets_compact,
         positive_iou=positive_iou,
         negative_iou=negative_iou,
     )

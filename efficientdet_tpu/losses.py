@@ -28,13 +28,24 @@ def focal_loss(
 
     Args:
       cls_logits: (B, A, C) raw logits.
-      cls_targets: (B, A, C) one-hot targets (zeros for negatives).
+      cls_targets: (B, A, C) float one-hot targets (zeros for negatives), OR
+        (B, A) int32 matched class labels (-1 = no class), the compact form
+        from ``anchors.anchor_targets_compact``. With labels the one-hot is
+        generated on the fly by an iota-compare that XLA fuses into this
+        loss's elementwise chain — the (B, A, C) tensor (~1.1 GB/step at
+        D0/b64) never reaches HBM, in either the forward or backward pass.
       anchor_state: (B, A) in {-1 ignore, 0 negative, 1 positive}.
     Returns scalar loss.
     """
     cls_logits = cls_logits.astype(jnp.float32)
     p = jax.nn.sigmoid(cls_logits)
-    t = cls_targets.astype(jnp.float32)
+    if cls_targets.ndim == cls_logits.ndim - 1:
+        labels = cls_targets.astype(jnp.int32)[..., None]  # (B, A, 1)
+        c = cls_logits.shape[-1]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1,) * (labels.ndim - 1) + (c,), labels.ndim - 1)
+        t = (labels == iota).astype(jnp.float32)  # fused, never materialised
+    else:
+        t = cls_targets.astype(jnp.float32)
 
     alpha_factor = jnp.where(t == 1.0, alpha, 1.0 - alpha)
     focal_weight = jnp.where(t == 1.0, 1.0 - p, p) ** gamma

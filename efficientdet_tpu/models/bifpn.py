@@ -28,6 +28,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from efficientdet_tpu.models.normalization import TpuBatchNorm
 from efficientdet_tpu.ops.resample import downsample_maxpool, upsample_to
 
 Dtype = Any
@@ -96,13 +97,12 @@ class FusedNode(nn.Module):
         x = nn.swish(x)
         x = SeparableConv(self.features, dtype=self.dtype, name="conv")(x)
         if not self.fuse_bn:
-            x = nn.BatchNorm(
+            x = TpuBatchNorm(
                 use_running_average=use_running_average,
                 momentum=self.bn_momentum,
                 epsilon=self.bn_epsilon,
-                dtype=jnp.float32,
                 name="bn",
-            )(x).astype(self.dtype)
+            )(x)
         return x
 
 
@@ -127,13 +127,12 @@ class BiFPNLayer(nn.Module):
             )(x)
             if self.fuse_bn:
                 return x
-            return nn.BatchNorm(
+            return TpuBatchNorm(
                 use_running_average=use_running_average,
                 momentum=self.bn_momentum,
                 epsilon=self.bn_epsilon,
-                dtype=jnp.float32,
                 name=f"{name}_bn",
-            )(x).astype(self.dtype)
+            )(x)
 
         if self.first:
             c3, c4, c5 = feats

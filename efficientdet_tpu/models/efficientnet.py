@@ -28,6 +28,7 @@ from efficientdet_tpu.configs import (
     round_filters,
     round_repeats,
 )
+from efficientdet_tpu.models.normalization import TpuBatchNorm
 
 Dtype = Any
 
@@ -101,11 +102,10 @@ class MBConvBlock(nn.Module):
         def bn(name):
             if fused:
                 return lambda y: y
-            return nn.BatchNorm(
+            return TpuBatchNorm(
                 use_running_average=use_running_average,
                 momentum=self.bn_momentum,
                 epsilon=self.bn_epsilon,
-                dtype=jnp.float32,
                 name=name,
             )
 
@@ -180,11 +180,10 @@ class EfficientNet(nn.Module):
         def bn(name):
             if self.fuse_bn:
                 return lambda y: y
-            return nn.BatchNorm(
+            return TpuBatchNorm(
                 use_running_average=use_running_average,
                 momentum=self.bn_momentum,
                 epsilon=self.bn_epsilon,
-                dtype=jnp.float32,
                 name=name,
             )
 

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from efficientdet_tpu.models.bifpn import SeparableConv
+from efficientdet_tpu.models.normalization import TpuBatchNorm
 
 Dtype = Any
 
@@ -213,13 +214,12 @@ class _Head(nn.Module):
                     )(x)
                 else:
                     x = convs[i](x)
-                    x = nn.BatchNorm(
+                    x = TpuBatchNorm(
                         use_running_average=use_running_average,
                         momentum=self.bn_momentum,
                         epsilon=self.bn_epsilon,
-                        dtype=jnp.float32,
                         name=f"bn_l{lvl}_d{i}",
-                    )(x).astype(self.dtype)
+                    )(x)
                 x = nn.swish(x)
             if return_anchor_major_levels:
                 # final depthwise per level (shared weights); the pointwise

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from efficientdet_tpu.anchors import anchor_targets_batch, anchors_for_shape
+from efficientdet_tpu.anchors import anchor_targets_batch_compact, anchors_for_shape
 from efficientdet_tpu.configs import TrainConfig
 from efficientdet_tpu.losses import detection_loss
 from efficientdet_tpu.models.detector import EfficientDet
@@ -103,11 +103,10 @@ def make_eval_loss_fn(
     anchors = jnp.asarray(anchors_for_shape((size, size), cfg.anchor))
 
     def eval_loss(state: TrainState, batch: Dict[str, jax.Array]):
-        cls_t, box_t, state_t = anchor_targets_batch(
+        cls_t, box_t, state_t = anchor_targets_batch_compact(
             anchors,
             batch["gt_boxes"],
             batch["gt_labels"],
-            cfg.num_classes,
             config.positive_iou,
             config.negative_iou,
         )
@@ -151,11 +150,10 @@ def make_train_step(
         if images.dtype == jnp.uint8:
             # fused normalise inside the step (north star: one XLA program)
             images = preprocess_batch_fixed(images, dtype=jnp.float32)
-        cls_t, box_t, state_t = anchor_targets_batch(
+        cls_t, box_t, state_t = anchor_targets_batch_compact(
             anchors,
             batch["gt_boxes"],
             batch["gt_labels"],
-            cfg.num_classes,
             config.positive_iou,
             config.negative_iou,
         )
