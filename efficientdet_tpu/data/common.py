@@ -174,6 +174,22 @@ def batch_iterator(
                         rng if aug_seed is None
                         else np.random.RandomState(aug_seed)
                     )
+                    if getattr(augment, "supports_fused_letterbox", False):
+                        # fused warp+letterbox: one resample into the canvas,
+                        # boxes come back already in canvas coords
+                        canvas, boxes, scale = augment(
+                            aug_rng, img, boxes, target_size=target_size
+                        )
+                        boxes, labels = dataset.filter_annotations(
+                            boxes, labels, canvas.shape[:2]
+                        )
+                        images[bi] = canvas
+                        scales[bi] = scale
+                        k = min(len(boxes), max_gt)
+                        if k:
+                            gt_boxes[bi, :k] = boxes[:k]
+                            gt_labels[bi, :k] = labels[:k]
+                        return
                     img, boxes = augment(aug_rng, img, boxes)
                     boxes, labels = dataset.filter_annotations(
                         boxes, labels, img.shape[:2]
