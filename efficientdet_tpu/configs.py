@@ -204,6 +204,9 @@ class TrainConfig:
     # Optimisation extras (new-build additions, off by default for parity).
     weight_decay: float = 0.0
     grad_clip_norm: float = 0.0
+    # >1: optax.MultiSteps gradient accumulation — effective batch =
+    # grad_accum_steps * batch_size at constant activation memory.
+    grad_accum_steps: int = 1
     ema_decay: float = 0.0
     freeze_backbone: bool = False
     # lr schedule: 'constant' mirrors reference Adam(1e-3) + ReduceLROnPlateau

@@ -1,0 +1,145 @@
+"""Standalone evaluation CLI (reference ``eval/common.py`` / ``eval/coco.py``).
+
+The reference evaluates either through the ``Evaluate`` Keras callback during
+training or by calling ``eval/common.py:evaluate`` on a loaded model
+(SURVEY.md SS2 "VOC-style eval" / "COCO eval", SS3.3-3.4). This module is the
+from-a-checkpoint entry point:
+
+    python -m efficientdet_tpu.evaluate coco /data/coco --snapshot ckpts/ \
+        --phi 0 [--set val2017] [--max-images N]
+    python -m efficientdet_tpu.evaluate pascal /data/VOC2007 --snapshot ... \
+        --phi 0 [--set test]
+    python -m efficientdet_tpu.evaluate csv annots.csv classes.csv --snapshot ...
+
+COCO prints the 12 COCOeval numbers (self-written 101-pt interpolated AP —
+pycocotools is unavailable offline); pascal/csv print per-class VOC AP and
+mAP. Detection collection runs through the jitted sharded predict pipeline
+(batched, fused preprocess + on-device NMS), unlike the reference's
+image-at-a-time ``model.predict`` loop.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(
+        prog="efficientdet_tpu.evaluate",
+        description="Evaluate a checkpoint: COCO AP or VOC-style mAP.",
+    )
+    sub = p.add_subparsers(dest="dataset_type", required=True)
+
+    coco = sub.add_parser("coco")
+    coco.add_argument("coco_path")
+    coco.add_argument("--set", dest="eval_set", default="val2017")
+
+    pascal = sub.add_parser("pascal")
+    pascal.add_argument("pascal_path")
+    pascal.add_argument("--set", dest="eval_set", default="test")
+
+    csv_ = sub.add_parser("csv")
+    csv_.add_argument("annotations_path")
+    csv_.add_argument("classes_path")
+
+    for q in (coco, pascal, csv_):
+        q.add_argument("--snapshot", required=True,
+                       help="orbax checkpoint directory (train.py --snapshot-path)")
+        q.add_argument("--phi", type=int, default=0, choices=range(8))
+        q.add_argument("--weighted-bifpn", action="store_true", default=True)
+        q.add_argument("--no-weighted-bifpn", dest="weighted_bifpn",
+                       action="store_false")
+        q.add_argument("--image-size", type=int, default=None)
+        q.add_argument("--batch-size", type=int, default=8)
+        q.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
+        q.add_argument("--score-threshold", type=float, default=0.05,
+                       help="COCO collection threshold (reference 0.05)")
+        q.add_argument("--iou-threshold", type=float, default=0.5,
+                       help="VOC matching IoU (reference 0.5)")
+        q.add_argument("--max-images", type=int, default=None)
+        q.add_argument("--use-ema", action="store_true",
+                       help="evaluate the EMA params if present in the snapshot")
+    return p.parse_args(argv)
+
+
+def build_dataset(args):
+    from efficientdet_tpu.data import CocoDataset, CsvDataset, PascalVocDataset
+
+    if args.dataset_type == "coco":
+        return CocoDataset(args.coco_path, args.eval_set)
+    if args.dataset_type == "pascal":
+        return PascalVocDataset(args.pascal_path, args.eval_set)
+    return CsvDataset(args.annotations_path, args.classes_path)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import efficientdet_tpu as ed
+    from efficientdet_tpu.configs import TrainConfig
+    from efficientdet_tpu.parallel import make_mesh, make_sharded_predict_fn
+    from efficientdet_tpu.train_lib import create_train_state
+    from efficientdet_tpu.utils.checkpoint import CheckpointManager
+
+    dataset = build_dataset(args)
+    num_classes = dataset.num_classes()
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    model, cfg = ed.build_efficientdet(
+        args.phi,
+        num_classes=num_classes,
+        weighted_bifpn=args.weighted_bifpn,
+        dtype=dtype,
+        image_size=args.image_size,
+    )
+    size = cfg.image_size
+
+    # Restore params/batch_stats through the same TrainState layout train.py
+    # saves, so any snapshot it wrote is loadable here.
+    state = create_train_state(model, TrainConfig(), jax.random.PRNGKey(0))
+    state = CheckpointManager(args.snapshot).restore(state)
+    params = (
+        state.ema_params
+        if args.use_ema and state.ema_params is not None
+        else state.params
+    )
+    variables = {"params": params, "batch_stats": state.batch_stats}
+
+    mesh = make_mesh()
+    predict = make_sharded_predict_fn(model, mesh)
+    print(
+        f"EfficientDet-D{args.phi} | {size}px | {num_classes} classes | "
+        f"{len(dataset)} images | {jax.device_count()} device(s)",
+        flush=True,
+    )
+
+    if args.dataset_type == "coco":
+        from efficientdet_tpu.evaluation.coco_eval import evaluate_coco
+
+        stats = evaluate_coco(
+            dataset, predict, variables, size,
+            batch_size=args.batch_size,
+            score_threshold=args.score_threshold,
+            max_images=args.max_images,
+        )
+        print(json.dumps({k: round(v, 4) for k, v in stats.items()}))
+    else:
+        from efficientdet_tpu.evaluation.voc import evaluate_voc, mean_ap
+
+        aps = evaluate_voc(
+            dataset, predict, variables, size,
+            batch_size=args.batch_size,
+            iou_threshold=args.iou_threshold,
+            max_images=args.max_images,
+        )
+        for label, (ap, n) in sorted(aps.items()):
+            print(f"{dataset.label_to_name(label)}: AP={ap:.4f} ({n} gt)")
+        print(json.dumps({"mAP": round(mean_ap(aps), 4)}))
+
+
+if __name__ == "__main__":
+    main()

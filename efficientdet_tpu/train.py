@@ -61,6 +61,9 @@ def parse_args(argv=None):
         q.add_argument("--random-transform", action="store_true")
         q.add_argument("--compute-val-loss", action="store_true")
         q.add_argument("--max-gt", type=int, default=100)
+        q.add_argument("--grad-accum-steps", type=int, default=1,
+                       help="accumulate k gradients per optimiser update "
+                       "(effective batch = k * batch-size)")
         q.add_argument("--image-size", type=int, default=None)
         q.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
         q.add_argument("--log-file", default=None)
@@ -143,6 +146,7 @@ def main(argv=None):
         steps_per_epoch=steps_per_epoch,
         max_gt_boxes=args.max_gt,
         freeze_backbone=args.freeze_backbone,
+        grad_accum_steps=args.grad_accum_steps,
     )
 
     mesh = make_mesh()

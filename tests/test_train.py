@@ -91,6 +91,56 @@ class TestTrainStep:
         assert any(not np.allclose(np.asarray(b), np.asarray(a)) for b, a in zip(hb, ha))
 
 
+    def test_grad_accumulation(self):
+        """k micro-steps with MultiSteps == params frozen until the k-th,
+        then one update close to the full-batch update."""
+        model, cfg = tiny_model()
+        batch = synth_batch(np.random.RandomState(3), 4, 128, 4)
+        rng = jax.random.PRNGKey(0)
+
+        tc_acc = TrainConfig(batch_size=2, grad_accum_steps=2)
+        state = create_train_state(model, tc_acc, jax.random.PRNGKey(0))
+        step = jax.jit(make_train_step(model, tc_acc))
+        half = {k: v[:2] for k, v in batch.items()}
+        other = {k: v[2:] for k, v in batch.items()}
+
+        mid, _ = step(state, half, rng)
+        # after micro-step 1 of 2 the params must not have moved
+        assert all(
+            np.allclose(np.asarray(b), np.asarray(a))
+            for b, a in zip(jax.tree.leaves(state.params), jax.tree.leaves(mid.params))
+        )
+        done, _ = step(mid, other, rng)
+        moved = [
+            not np.allclose(np.asarray(b), np.asarray(a))
+            for b, a in zip(jax.tree.leaves(state.params), jax.tree.leaves(done.params))
+        ]
+        assert any(moved)
+
+        # Optimizer-level exactness: MultiSteps(adam) fed g1 then g2 must
+        # emit, on the k-th call, the same update adam emits on mean(g1, g2).
+        # (Comparing whole train steps instead would conflate this with
+        # drop-connect rng and per-micro-batch loss normalisation.)
+        from efficientdet_tpu.train_lib import make_optimizer
+
+        params = {"w": jnp.ones((3, 2)), "b": jnp.zeros((2,))}
+        g1 = {"w": jnp.full((3, 2), 0.3), "b": jnp.array([0.1, -0.2])}
+        g2 = {"w": jnp.full((3, 2), -0.1), "b": jnp.array([0.5, 0.0])}
+        gm = jax.tree.map(lambda a, b: (a + b) / 2.0, g1, g2)
+
+        tx_acc = make_optimizer(TrainConfig(grad_accum_steps=2))
+        s = tx_acc.init(params)
+        u1, s = tx_acc.update(g1, s, params)
+        assert all(np.all(np.asarray(u) == 0) for u in jax.tree.leaves(u1))
+        u2, s = tx_acc.update(g2, s, params)
+
+        tx_one = make_optimizer(TrainConfig())
+        so = tx_one.init(params)
+        uo, _ = tx_one.update(gm, so, params)
+        for a, b in zip(jax.tree.leaves(u2), jax.tree.leaves(uo)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 class TestShardedTrain:
     def test_eight_device_data_parallel(self):
         assert jax.device_count() == 8, "conftest must fake 8 CPU devices"
