@@ -103,17 +103,20 @@ def iou_matrix(boxes: jax.Array, query_boxes: jax.Array) -> jax.Array:
     """
     boxes = boxes.astype(jnp.float32)
     query_boxes = query_boxes.astype(jnp.float32)
-    lt = jnp.maximum(boxes[:, None, :2], query_boxes[None, :, :2])
-    rb = jnp.minimum(boxes[:, None, 2:], query_boxes[None, :, 2:])
-    wh = jnp.clip(rb - lt, 0.0)
-    inter = wh[..., 0] * wh[..., 1]
-    area_a = jnp.clip(boxes[:, 2] - boxes[:, 0], 0.0) * jnp.clip(
-        boxes[:, 3] - boxes[:, 1], 0.0
-    )
-    area_b = jnp.clip(query_boxes[:, 2] - query_boxes[:, 0], 0.0) * jnp.clip(
-        query_boxes[:, 3] - query_boxes[:, 1], 0.0
-    )
-    union = area_a[:, None] + area_b[None, :] - inter
+    # Per-coordinate column form, NOT a stacked (N, K, 2) min/max: keeping
+    # every intermediate (N, K)-shaped and derived from (N, 1)/(1, K)
+    # columns lets XLA fuse the entire IoU into its consuming reduction.
+    # The stacked form materialised a f32 (B, A, G, 2) corner tensor
+    # (~5 GB accessed per D0/b128 train step, device trace) because the
+    # trailing slice-multiply could not fuse into the argmax.
+    ax1, ay1, ax2, ay2 = (boxes[:, i][:, None] for i in range(4))
+    bx1, by1, bx2, by2 = (query_boxes[:, i][None, :] for i in range(4))
+    iw = jnp.clip(jnp.minimum(ax2, bx2) - jnp.maximum(ax1, bx1), 0.0)
+    ih = jnp.clip(jnp.minimum(ay2, by2) - jnp.maximum(ay1, by1), 0.0)
+    inter = iw * ih
+    area_a = jnp.clip(ax2 - ax1, 0.0) * jnp.clip(ay2 - ay1, 0.0)  # (N, 1)
+    area_b = jnp.clip(bx2 - bx1, 0.0) * jnp.clip(by2 - by1, 0.0)  # (1, K)
+    union = area_a + area_b - inter
     return jnp.where(union > 0, inter / jnp.maximum(union, 1e-9), 0.0)
 
 

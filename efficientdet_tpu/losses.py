@@ -105,7 +105,16 @@ def detection_loss(
     gamma: float = 2.0,
     sigma: float = 3.0,
 ):
-    """Total = focal + smooth-L1 (unit weights, as the reference compiles)."""
-    cls_loss = focal_loss(cls_logits, cls_targets, anchor_state, alpha, gamma)
+    """Total = focal + smooth-L1 (unit weights, as the reference compiles).
+
+    The focal term is wrapped in ``jax.checkpoint``: autodiff otherwise
+    saves a (B, A, C)-sized focal intermediate for the backward pass
+    (~1.1 GB write + re-read per step at D0/b128, device trace); remat
+    recomputes it from the logits — which the head keeps live anyway —
+    inside the fused backward pass.
+    """
+    cls_loss = jax.checkpoint(
+        lambda l, t, s: focal_loss(l, t, s, alpha, gamma)
+    )(cls_logits, cls_targets, anchor_state)
     box_loss = smooth_l1_loss(box_preds, box_targets, anchor_state, sigma)
     return cls_loss + box_loss, {"cls_loss": cls_loss, "box_loss": box_loss}

@@ -25,6 +25,9 @@ def main():
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--max-gt", type=int, default=100)
+    p.add_argument("--trace", default=None,
+                   help="directory: capture a jax.profiler trace of the "
+                   "timed steps")
     args = p.parse_args()
 
     import jax
@@ -73,11 +76,15 @@ def main():
         state, metrics = step(state, batch, step_rng)
     loss = float(metrics["loss"])  # host fetch = fence
 
+    if args.trace:
+        jax.profiler.start_trace(args.trace)
     t0 = time.perf_counter()
     for _ in range(args.steps):
         state, metrics = step(state, batch, step_rng)
     loss = float(metrics["loss"])  # fence
     dt = time.perf_counter() - t0
+    if args.trace:
+        jax.profiler.stop_trace()
 
     img_s_chip = args.steps * args.batch / dt / jax.device_count()
     print(
