@@ -127,6 +127,10 @@ class ModelConfig:
     anchor: AnchorConfig = AnchorConfig()
     # Backbone regularisation.
     survival_prob: float = 0.8  # drop-connect keep prob at the deepest block
+    # Rematerialise each MBConv block in the backward pass (jax.checkpoint):
+    # trades ~1 extra forward of backbone FLOPs for activation memory, the
+    # lever that fits D4+ *training* on a single chip's HBM.
+    remat: bool = False
     # Numerics.
     bn_momentum: float = 0.99
     bn_epsilon: float = 1e-3

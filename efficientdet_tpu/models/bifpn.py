@@ -190,13 +190,21 @@ class BiFPN(nn.Module):
     bn_epsilon: float = 1e-3
     dtype: Dtype = jnp.float32
     fuse_bn: bool = False
+    # Rematerialise each BiFPN layer in the backward pass (ModelConfig.remat).
+    remat: bool = False
 
     @nn.compact
     def __call__(
         self, feats: Sequence[jax.Array], use_running_average: bool = True
     ) -> List[jax.Array]:
+        # (self, feats, use_running_average) -> static argnum 2.
+        Layer = (
+            nn.remat(BiFPNLayer, static_argnums=(2,))
+            if self.remat
+            else BiFPNLayer
+        )
         for i in range(self.depth):
-            feats = BiFPNLayer(
+            feats = Layer(
                 features=self.features,
                 first=(i == 0),
                 weighted=self.weighted,

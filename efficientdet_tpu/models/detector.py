@@ -64,6 +64,7 @@ class EfficientDet(nn.Module):
             bn_epsilon=cfg.bn_epsilon,
             dtype=self.dtype,
             fuse_bn=self.fuse_bn,
+            remat=cfg.remat,
             name="backbone",
         )(images, train=train, use_running_average=ura)
         feats = BiFPN(
@@ -74,6 +75,7 @@ class EfficientDet(nn.Module):
             bn_epsilon=cfg.bn_epsilon,
             dtype=self.dtype,
             fuse_bn=self.fuse_bn,
+            remat=cfg.remat,
             name="bifpn",
         )(
             [c3, c4, c5], use_running_average=ura
@@ -87,6 +89,7 @@ class EfficientDet(nn.Module):
             bn_epsilon=cfg.bn_epsilon,
             dtype=self.dtype,
             fuse_bn=self.fuse_bn,
+            remat=cfg.remat,
             name="class_net",
         )(
             feats,
@@ -102,6 +105,7 @@ class EfficientDet(nn.Module):
             bn_epsilon=cfg.bn_epsilon,
             dtype=self.dtype,
             fuse_bn=self.fuse_bn,
+            remat=cfg.remat,
             name="box_net",
         )(
             feats,
@@ -119,6 +123,7 @@ def build_efficientdet(
     freeze_bn: bool = False,
     dtype: Dtype = jnp.float32,
     image_size: int | None = None,
+    remat: bool = False,
 ) -> Tuple[EfficientDet, ModelConfig]:
     """The reference's ``efficientdet(phi, ...)`` builder."""
     config = ModelConfig.for_phi(
@@ -128,6 +133,10 @@ def build_efficientdet(
         freeze_bn=freeze_bn,
         image_size=image_size,
     )
+    if remat:
+        import dataclasses
+
+        config = dataclasses.replace(config, remat=True)
     return EfficientDet(config=config, dtype=dtype), config
 
 

@@ -168,6 +168,10 @@ class EfficientNet(nn.Module):
     bn_epsilon: float = 1e-3
     dtype: Dtype = jnp.float32
     fuse_bn: bool = False  # inference-folded variant (see utils/fold_bn.py)
+    # jax.checkpoint each MBConv block: backward recomputes the block's
+    # forward instead of keeping its expanded (6x-channel) intermediates
+    # live — fits D4+ training in one chip's HBM (ModelConfig.remat).
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -200,6 +204,12 @@ class EfficientNet(nn.Module):
             round_repeats(b.num_repeat, depth) for b in EFFICIENTNET_B0_BLOCKS
         )
         drop_rate = 1.0 - self.survival_prob
+        # (self, x, train, use_running_average) -> statics are argnums 2, 3.
+        Block = (
+            nn.remat(MBConvBlock, static_argnums=(2, 3))
+            if self.remat
+            else MBConvBlock
+        )
         taps = {}
         block_idx = 0
         for stage_idx, block_cfg in enumerate(EFFICIENTNET_B0_BLOCKS):
@@ -209,7 +219,7 @@ class EfficientNet(nn.Module):
             for r in range(repeats):
                 # Linearly-scaled stochastic depth over block index.
                 survival = 1.0 - drop_rate * block_idx / total_blocks
-                x = MBConvBlock(
+                x = Block(
                     config=block_cfg,
                     input_filters=in_f if r == 0 else out_f,
                     output_filters=out_f,
@@ -220,7 +230,7 @@ class EfficientNet(nn.Module):
                     dtype=self.dtype,
                     fuse_bn=self.fuse_bn,
                     name=f"stage{stage_idx + 1}_block{r}",
-                )(x, train=train, use_running_average=use_running_average)
+                )(x, train, use_running_average)  # positional: remat statics
                 block_idx += 1
             # Taps after stages 3 (stride 8), 5 (stride 16), 7 (stride 32).
             if stage_idx == 2:

@@ -266,6 +266,20 @@ class _Head(nn.Module):
         return jnp.concatenate(outputs, axis=1)  # (B, A_total, num_outputs)
 
 
+def _head_cls(remat, return_raw_levels, return_anchor_major_levels):
+    """_Head, optionally remat-wrapped (ModelConfig.remat).
+
+    Only the plain concat-output path is checkpointable (the raw-level /
+    anchor-major variants return static aux like per-level pixel counts,
+    which jax.checkpoint outputs cannot carry) — and only that path is used
+    by training, which is where activation memory matters.
+    """
+    if remat and not (return_raw_levels or return_anchor_major_levels):
+        # (self, feats, ura, raw, anchor_major) -> statics 2, 3, 4.
+        return nn.remat(_Head, static_argnums=(2, 3, 4))
+    return _Head
+
+
 class ClassNet(nn.Module):
     """Classification head -> (B, A, num_classes) logits."""
 
@@ -278,6 +292,7 @@ class ClassNet(nn.Module):
     bn_epsilon: float = 1e-3
     dtype: Dtype = jnp.float32
     fuse_bn: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -287,7 +302,9 @@ class ClassNet(nn.Module):
         return_raw_levels: bool = False,
         return_anchor_major_levels: bool = False,
     ) -> jax.Array:
-        return _Head(
+        return _head_cls(
+            self.remat, return_raw_levels, return_anchor_major_levels
+        )(
             width=self.width,
             depth=self.depth,
             num_outputs=self.num_classes,
@@ -313,6 +330,7 @@ class BoxNet(nn.Module):
     bn_epsilon: float = 1e-3
     dtype: Dtype = jnp.float32
     fuse_bn: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -322,7 +340,9 @@ class BoxNet(nn.Module):
         return_raw_levels: bool = False,
         return_anchor_major_levels: bool = False,
     ) -> jax.Array:
-        return _Head(
+        return _head_cls(
+            self.remat, return_raw_levels, return_anchor_major_levels
+        )(
             width=self.width,
             depth=self.depth,
             num_outputs=4,

@@ -66,6 +66,9 @@ def parse_args(argv=None):
                        "(effective batch = k * batch-size)")
         q.add_argument("--image-size", type=int, default=None)
         q.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+        q.add_argument("--remat", action="store_true",
+                       help="rematerialise backbone blocks in the backward "
+                       "pass (fits D4+ training on one chip)")
         q.add_argument("--log-file", default=None)
         q.add_argument("--tensorboard-dir", default=None,
                        help="write scalar summaries as TF event files "
@@ -133,6 +136,7 @@ def main(argv=None):
         freeze_bn=args.freeze_bn,
         dtype=dtype,
         image_size=args.image_size,
+        remat=args.remat,
     )
     size = cfg.image_size
     print(f"EfficientDet-D{args.phi} | {size}px | {num_classes} classes | "

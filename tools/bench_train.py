@@ -25,6 +25,8 @@ def main():
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--max-gt", type=int, default=100)
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialise backbone blocks (fits D4+ on one chip)")
     p.add_argument("--trace", default=None,
                    help="directory: capture a jax.profiler trace of the "
                    "timed steps")
@@ -40,7 +42,9 @@ def main():
     from efficientdet_tpu.train_lib import create_train_state
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
-    model, cfg = ed.build_efficientdet(args.phi, num_classes=90, dtype=dtype)
+    model, cfg = ed.build_efficientdet(
+        args.phi, num_classes=90, dtype=dtype, remat=args.remat
+    )
     size = cfg.image_size
     tc = TrainConfig(batch_size=args.batch, max_gt_boxes=args.max_gt)
 
