@@ -186,3 +186,39 @@ class TestCocoEvalEndToEnd:
         assert stats["AP50"] == pytest.approx(1.0, abs=1e-6)
         assert stats["AP75"] == pytest.approx(0.0, abs=1e-6)
         assert stats["AP"] == pytest.approx(0.4, abs=1e-6)  # 4/10 thresholds
+
+
+class TestCliRoundTrip:
+    @pytest.mark.skipif(
+        not __import__("os").environ.get("RUN_SLOW_TESTS"),
+        reason="full-size D0 through both CLIs on the 8-device CPU mesh "
+        "takes >20 min; set RUN_SLOW_TESTS=1 to include (the same flow is "
+        "driven on real hardware — README 'Tests / bench / driver hooks')",
+    )
+    def test_train_cli_then_evaluate_cli(self, synth_csv, tmp_path):
+        """The reference workflow end-to-end at CLI level: train.py writes a
+        snapshot, evaluate.py restores it and prints mAP (SURVEY.md SS2
+        "Training CLI" / "VOC-style eval")."""
+        from efficientdet_tpu import evaluate as eval_cli
+        from efficientdet_tpu import train as train_cli
+
+        import os
+
+        base = synth_csv.base_dir  # CsvDataset fixture wrote a.csv / c.csv
+        annots, classes = os.path.join(base, "a.csv"), os.path.join(base, "c.csv")
+        snap = str(tmp_path / "ckpt")
+        # conftest runs on 8 fake devices: batch must divide over the mesh
+        train_cli.main([
+            "csv", annots, classes,
+            "--phi", "0", "--image-size", "128", "--batch-size", "8",
+            "--epochs", "1", "--steps", "2", "--no-eval",
+            "--snapshot-path", snap, "--log-file", str(tmp_path / "log.jsonl"),
+        ])
+        log = (tmp_path / "log.jsonl").read_text().strip().splitlines()
+        assert log and np.isfinite(json.loads(log[-1])["loss"])
+
+        eval_cli.main([
+            "csv", annots, classes,
+            "--snapshot", snap, "--phi", "0", "--image-size", "128",
+            "--batch-size", "8", "--dtype", "f32", "--max-images", "4",
+        ])
