@@ -30,6 +30,9 @@ def main():
     p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--trace", default=None,
+                   help="directory: capture a jax.profiler trace of the "
+                   "timed steps")
     args = p.parse_args()
 
     import jax
@@ -63,11 +66,15 @@ def main():
         out = predict(variables, images)
     np.asarray(out[3])
 
+    if args.trace:
+        jax.profiler.start_trace(args.trace)
     t0 = time.perf_counter()
     for _ in range(args.steps):
         out = predict(variables, images)
     np.asarray(out[3])  # device executes in-order; fetching the last result
     dt = time.perf_counter() - t0  # fences the whole queue
+    if args.trace:
+        jax.profiler.stop_trace()
 
     n_chips = jax.device_count()
     img_s = args.steps * args.batch / dt
