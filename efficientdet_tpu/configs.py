@@ -140,13 +140,23 @@ class ModelConfig:
         cls,
         phi: int,
         num_classes: int = 90,
-        weighted_bifpn: bool = True,
+        weighted_bifpn: bool | None = None,
         freeze_bn: bool = False,
         image_size: int | None = None,
     ) -> "ModelConfig":
+        """Build the per-phi config.
+
+        ``weighted_bifpn=None`` (default) follows the reference lineage:
+        fast-normalised weighted fusion for D0–D5, UNWEIGHTED sum fusion
+        for D6/D7 (SURVEY.md §2 "BiFPN": the softmax/fast-norm weights are
+        dropped at the largest scales for stability). Pass True/False to
+        override explicitly.
+        """
         if phi not in _PHI_CONFIGS:
             raise ValueError(f"phi must be in 0..7, got {phi}")
         size, backbone, w, d, hd, anchor_scale = _PHI_CONFIGS[phi]
+        if weighted_bifpn is None:
+            weighted_bifpn = phi < 6
         if image_size is not None:
             size = image_size
         if size % 128 != 0:
@@ -244,3 +254,22 @@ class EvalConfig:
     # lowers to an exact sort, so CPU oracle tests see identical values.
     # Set False for strict exact-top-k semantics on TPU.
     approx_anchor_prefilter: bool = True
+
+    @classmethod
+    def exact(cls, num_classes: int = 90, **overrides) -> "EvalConfig":
+        """Parity-exact preset: NO approximations anywhere in the NMS path.
+
+        ``per_anchor_top_c >= num_classes`` disables the per-anchor class cap
+        and ``approx_anchor_prefilter=False`` replaces ``lax.approx_max_k``
+        with an exact full-sort top-k, so selection semantics match the
+        reference's FilterDetections bit-for-bit modulo float order. This is
+        the default for the mAP-measuring eval CLI (BASELINE.json:5 "mAP
+        within 0.2"); the fast defaults above are for serving/training-loop
+        monitoring. Measured delta of the fast mode on adversarial synthetic
+        logits: see tests/test_nms.py::TestExactVsFastEval.
+        """
+        return cls(
+            per_anchor_top_c=max(num_classes, 1),
+            approx_anchor_prefilter=False,
+            **overrides,
+        )

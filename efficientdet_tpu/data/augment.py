@@ -320,16 +320,29 @@ def make_augmenter(
                 if transform_config is not None
                 else np.eye(3)
             )
-            m = scaling_matrix(scale, scale) @ m
+            # Image sampling uses the half-pixel-center form s*(x+0.5)-0.5
+            # so the fused warp matches cv2.resize (the val/predict
+            # letterbox); a corner-aligned scale would shift the resampled
+            # image ~0.5px relative to eval preprocessing. Box corners keep
+            # the plain scale, same convention as letterbox_hostside.
+            t = 0.5 * (scale - 1.0)
+            m_img = (
+                np.array(
+                    [[scale, 0.0, t], [0.0, scale, t], [0.0, 0.0, 1.0]],
+                    np.float64,
+                )
+                @ m
+            )
             canvas = cv2.warpAffine(
                 image,
-                m[:2],
+                m_img[:2],
                 (target_size, target_size),
                 flags=cv2.INTER_LINEAR,
                 borderMode=cv2.BORDER_CONSTANT,
                 borderValue=0,
             )
-            return canvas, transform_boxes(m, boxes), scale
+            m_box = scaling_matrix(scale, scale) @ m
+            return canvas, transform_boxes(m_box, boxes), scale
         if transform_config is not None:
             m = random_transform_matrix(rng, image.shape[:2], transform_config)
             image, boxes = apply_transform(m, image, boxes)

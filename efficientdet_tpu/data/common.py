@@ -180,8 +180,19 @@ def batch_iterator(
                         canvas, boxes, scale = augment(
                             aug_rng, img, boxes, target_size=target_size
                         )
+                        # Clip to the SCALED IMAGE extent, not the square
+                        # canvas: for non-square images the canvas includes
+                        # zero letterbox padding, and boxes pushed past the
+                        # short edge by the random transform must be clipped
+                        # to the visible image (or dropped as degenerate)
+                        # like the non-fused path does.
+                        h_img, w_img = img.shape[:2]
+                        extent = (
+                            int(round(h_img * scale)),
+                            int(round(w_img * scale)),
+                        )
                         boxes, labels = dataset.filter_annotations(
-                            boxes, labels, canvas.shape[:2]
+                            boxes, labels, extent
                         )
                         images[bi] = canvas
                         scales[bi] = scale

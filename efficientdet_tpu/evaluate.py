@@ -47,7 +47,9 @@ def parse_args(argv=None):
         q.add_argument("--snapshot", required=True,
                        help="orbax checkpoint directory (train.py --snapshot-path)")
         q.add_argument("--phi", type=int, default=0, choices=range(8))
-        q.add_argument("--weighted-bifpn", action="store_true", default=True)
+        q.add_argument("--weighted-bifpn", action="store_true", default=None,
+                       help="force weighted fusion (default: per-phi — "
+                            "weighted for D0-D5, unweighted for D6/D7)")
         q.add_argument("--no-weighted-bifpn", dest="weighted_bifpn",
                        action="store_false")
         q.add_argument("--image-size", type=int, default=None)
@@ -60,6 +62,12 @@ def parse_args(argv=None):
         q.add_argument("--max-images", type=int, default=None)
         q.add_argument("--use-ema", action="store_true",
                        help="evaluate the EMA params if present in the snapshot")
+        q.add_argument("--fast-eval", action="store_true",
+                       help="enable the serving-path NMS approximations "
+                            "(per-anchor class cap + approx_max_k prefilter). "
+                            "Default is the parity-EXACT path, as the mAP "
+                            "numbers this CLI reports feed the mAP-delta "
+                            "parity claim (BASELINE.json:5)")
     return p.parse_args(argv)
 
 
@@ -81,7 +89,7 @@ def main(argv=None):
     import numpy as np
 
     import efficientdet_tpu as ed
-    from efficientdet_tpu.configs import TrainConfig
+    from efficientdet_tpu.configs import EvalConfig, TrainConfig
     from efficientdet_tpu.parallel import make_mesh, make_sharded_predict_fn
     from efficientdet_tpu.train_lib import create_train_state
     from efficientdet_tpu.utils.checkpoint import CheckpointManager
@@ -98,9 +106,21 @@ def main(argv=None):
     )
     size = cfg.image_size
 
-    # Restore params/batch_stats through the same TrainState layout train.py
-    # saves, so any snapshot it wrote is loadable here.
-    state = create_train_state(model, TrainConfig(), jax.random.PRNGKey(0))
+    # Restore through a TrainState template structurally identical to what
+    # train.py saved: a snapshot trained with --grad-accum-steps > 1 carries
+    # a MultiSteps-wrapped opt_state and --ema-decay > 0 carries ema_params;
+    # a default-TrainConfig template cannot receive either (orbax rejects
+    # mismatched pytrees). train.py persists its TrainConfig next to the
+    # snapshots for exactly this reason.
+    import os as _os
+
+    tc = TrainConfig()
+    cfg_path = _os.path.join(args.snapshot, "train_config.json")
+    if _os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            saved = json.load(f)
+        tc = TrainConfig(**saved["train"])
+    state = create_train_state(model, tc, jax.random.PRNGKey(0))
     state = CheckpointManager(args.snapshot).restore(state)
     params = (
         state.ema_params
@@ -110,7 +130,10 @@ def main(argv=None):
     variables = {"params": params, "batch_stats": state.batch_stats}
 
     mesh = make_mesh()
-    predict = make_sharded_predict_fn(model, mesh)
+    eval_cfg = (
+        EvalConfig() if args.fast_eval else EvalConfig.exact(num_classes)
+    )
+    predict = make_sharded_predict_fn(model, mesh, eval_config=eval_cfg)
     print(
         f"EfficientDet-D{args.phi} | {size}px | {num_classes} classes | "
         f"{len(dataset)} images | {jax.device_count()} device(s)",

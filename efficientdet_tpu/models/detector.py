@@ -119,7 +119,7 @@ class EfficientDet(nn.Module):
 def build_efficientdet(
     phi: int,
     num_classes: int = 90,
-    weighted_bifpn: bool = True,
+    weighted_bifpn: bool | None = None,
     freeze_bn: bool = False,
     dtype: Dtype = jnp.float32,
     image_size: int | None = None,

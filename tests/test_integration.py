@@ -18,6 +18,8 @@ from efficientdet_tpu.evaluation.voc import evaluate_voc, mean_ap
 from efficientdet_tpu.models.detector import EfficientDet, make_predict_fn
 from efficientdet_tpu.train_lib import create_train_state, make_train_step
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-tier only (pytest -m '')
+
 
 def tiny_model(num_classes=1, image_size=128):
     cfg = dataclasses.replace(

@@ -9,6 +9,8 @@ from efficientdet_tpu.configs import EFFICIENTNET_B0_BLOCKS, BlockConfig
 from efficientdet_tpu.models.efficientnet import MBConvBlock
 from efficientdet_tpu.ops.mbconv_pallas import fused_mbconv_s1
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-tier only (pytest -m '')
+
 
 def folded_block(cfg, cin, cout, seed=0, size=32):
     block = MBConvBlock(

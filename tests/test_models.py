@@ -58,6 +58,7 @@ class TestParamCounts:
 
 
 class TestForward:
+    @pytest.mark.slow  # compile-heavy: full-tier only
     def test_d0_output_shapes(self):
         model, cfg, _ = init_shapes(0, image_size=256)
         vars_ = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)))
@@ -66,6 +67,7 @@ class TestForward:
         assert cls.shape == (2, a, 90)
         assert box.shape == (2, a, 4)
 
+    @pytest.mark.slow  # compile-heavy: full-tier only
     def test_prior_probability_init(self):
         # At init, classification sigmoid outputs should be ~0.01 everywhere.
         model, _, _ = init_shapes(0, image_size=128)
@@ -82,6 +84,7 @@ class TestForward:
         c2, b2 = model.apply(vars_, x)
         assert bool(jnp.all(c1 == c2)) and bool(jnp.all(b1 == b2))
 
+    @pytest.mark.slow  # compile-heavy: full-tier only
     def test_train_mode_updates_batch_stats(self):
         model, _, _ = init_shapes(0, image_size=128)
         vars_ = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
@@ -98,6 +101,7 @@ class TestForward:
         )
         assert changed
 
+    @pytest.mark.slow  # compile-heavy: full-tier only
     def test_freeze_bn_keeps_batch_stats(self):
         model, cfg = ed.build_efficientdet(0, image_size=128, freeze_bn=True)
         vars_ = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
@@ -147,3 +151,17 @@ class TestFusedNode:
         y1 = node.apply(vars_, x)
         y2 = node.apply(v2, x)
         np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-4)
+
+
+class TestPerPhiDefaults:
+    def test_weighted_bifpn_default_unweighted_for_d6_d7(self):
+        """Reference lineage builds D6/D7 with UNWEIGHTED fusion (SURVEY.md
+        §2 "BiFPN"); D0–D5 use fast-normalised weighted fusion."""
+        from efficientdet_tpu.configs import ModelConfig
+
+        for phi in range(8):
+            cfg = ModelConfig.for_phi(phi, num_classes=8)
+            assert cfg.weighted_bifpn == (phi < 6), (phi, cfg.weighted_bifpn)
+        # explicit override still wins in both directions
+        assert ModelConfig.for_phi(7, weighted_bifpn=True).weighted_bifpn
+        assert not ModelConfig.for_phi(0, weighted_bifpn=False).weighted_bifpn

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from efficientdet_tpu.anchors import clip_boxes, decode_boxes
 from efficientdet_tpu.configs import EvalConfig
@@ -160,6 +161,7 @@ class TestLogitSpaceVariant:
 
 
 class TestBatchedFromLogits:
+    @pytest.mark.slow  # compile-heavy: full-tier only
     def test_matches_per_image_reference(self):
         rng = np.random.RandomState(9)
         B, A, C = 3, 300, 6
@@ -227,6 +229,7 @@ class TestPerLevelFrontEnd:
         for w, g in zip(want, got):
             np.testing.assert_allclose(np.asarray(w), np.asarray(g), atol=1e-5)
 
+    @pytest.mark.slow  # compile-heavy: full-tier only
     def test_pixel_prefilter_superset_guarantee(self):
         # Adversarial: many strong anchors concentrated on FEW pixels must
         # not evict weaker anchors elsewhere beyond the exact top-K set.
@@ -314,3 +317,82 @@ class TestAnchorMajorFrontEnd:
         )
         for w, g in zip(want, got):
             np.testing.assert_allclose(np.asarray(w), np.asarray(g), atol=1e-5)
+
+
+class TestExactVsFastEval:
+    """EvalConfig.exact() vs the fast serving defaults (VERDICT r1 #5).
+
+    The fast path's two approximations are (a) per_anchor_top_c=16 class cap
+    and (b) approx_max_k anchor prefilter (exact-on-CPU). These tests pin
+    down exactly when they diverge and that the eval CLI's exact preset does
+    not."""
+
+    def _make_anchors(self, n=100, size=256.0):
+        rng = np.random.RandomState(0)
+        centers = rng.uniform(32, size - 32, (n, 2))
+        wh = rng.uniform(16, 48, (n, 2))
+        a = np.concatenate([centers - wh / 2, centers + wh / 2], axis=1)
+        return jnp.asarray(a, jnp.float32)
+
+    def test_exact_keeps_all_classes_of_one_hot_anchor(self):
+        """Adversarial: ONE anchor with 25 hot classes. The fast cap (16)
+        drops 9 of them; exact() keeps all 25."""
+        A, C = 100, 30
+        anchors = self._make_anchors(A)
+        deltas = jnp.zeros((1, A, 4), jnp.float32)
+        logits = np.full((1, A, C), -12.0, np.float32)
+        # 25 distinct classes of anchor 0, descending logits, all > thr
+        hot = 25
+        logits[0, 0, :hot] = np.linspace(5.0, 2.0, hot)
+        logits = jnp.asarray(logits)
+
+        exact = batched_filter_from_logits(
+            anchors, deltas, logits, (256, 256),
+            EvalConfig.exact(C), use_pallas=False,
+        )
+        fast = batched_filter_from_logits(
+            anchors, deltas, logits, (256, 256),
+            EvalConfig(), use_pallas=False,
+        )
+        # per-class NMS never suppresses across classes -> all survive
+        assert int(exact[3][0]) == hot
+        assert int(fast[3][0]) == 16  # the documented cap
+        # the detections exact mode adds are precisely the overflow classes
+        exact_cls = set(np.asarray(exact[2][0])[: int(exact[3][0])].tolist())
+        fast_cls = set(np.asarray(fast[2][0])[: int(fast[3][0])].tolist())
+        assert fast_cls == set(range(16))
+        assert exact_cls == set(range(hot))
+
+    def test_fast_equals_exact_on_realistic_logits(self):
+        """With <=16 hot classes per anchor (every real detection pattern)
+        and near-tie scores across anchors, fast == exact bit-for-bit on
+        CPU (approx_max_k lowers to an exact sort here)."""
+        rng = np.random.RandomState(1)
+        A, C, B = 200, 40, 2
+        anchors = self._make_anchors(A)
+        deltas = jnp.asarray(rng.uniform(-0.3, 0.3, (B, A, 4)), jnp.float32)
+        logits = np.full((B, A, C), -10.0, np.float32)
+        for b in range(B):
+            hot_anchors = rng.choice(A, 40, replace=False)
+            for a in hot_anchors:
+                classes = rng.choice(C, rng.randint(1, 4), replace=False)
+                # near-ties: scores drawn from a tight band
+                logits[b, a, classes] = rng.uniform(1.0, 1.01, len(classes))
+        logits = jnp.asarray(logits)
+
+        exact = batched_filter_from_logits(
+            anchors, deltas, logits, (256, 256),
+            EvalConfig.exact(C), use_pallas=False,
+        )
+        fast = batched_filter_from_logits(
+            anchors, deltas, logits, (256, 256),
+            EvalConfig(), use_pallas=False,
+        )
+        assert np.array_equal(np.asarray(exact[3]), np.asarray(fast[3]))
+        np.testing.assert_allclose(
+            np.asarray(exact[0]), np.asarray(fast[0]), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(exact[1]), np.asarray(fast[1]), atol=1e-6
+        )
+        assert np.array_equal(np.asarray(exact[2]), np.asarray(fast[2]))

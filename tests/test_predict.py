@@ -17,6 +17,10 @@ from efficientdet_tpu.ops.preprocess import (
 )
 from efficientdet_tpu.parallel import make_mesh, make_sharded_predict_fn
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: full-tier only (pytest -m '')
+
 
 def tiny_model(num_classes=4, image_size=128):
     cfg = dataclasses.replace(

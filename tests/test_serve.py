@@ -8,6 +8,10 @@ import numpy as np
 
 from efficientdet_tpu.serve import BatchingPredictor
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: full-tier only (pytest -m '')
+
 
 def tiny_model():
     import dataclasses
