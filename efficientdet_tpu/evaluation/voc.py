@@ -98,17 +98,21 @@ def evaluate_voc(
                 continue
             order = np.argsort(-dets[:, 4], kind="stable")
             dets = dets[order]
+            scores_c.extend(dets[:, 4].tolist())
+            if len(gts) == 0:
+                fps.extend([1] * len(dets))
+                tps.extend([0] * len(dets))
+                continue
+            # ONE IoU matrix per (image, class) — the reference's
+            # compute_overlap call shape — then greedy row-wise assignment
+            # in score order with each GT matched at most once.
+            overlaps = compute_overlap(
+                dets[:, :4].astype(np.float64), gts.astype(np.float64)
+            )  # (D, G)
             detected = set()
-            for d in dets:
-                scores_c.append(d[4])
-                if len(gts) == 0:
-                    fps.append(1)
-                    tps.append(0)
-                    continue
-                overlaps = compute_overlap(d[None, :4].astype(np.float64),
-                                           gts.astype(np.float64))
-                gi = int(np.argmax(overlaps[0]))
-                if overlaps[0, gi] >= iou_threshold and gi not in detected:
+            for row in overlaps:
+                gi = int(np.argmax(row))
+                if row[gi] >= iou_threshold and gi not in detected:
                     detected.add(gi)
                     tps.append(1)
                     fps.append(0)

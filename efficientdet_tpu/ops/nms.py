@@ -429,10 +429,33 @@ def batched_filter_from_anchor_major_levels(
     Output detections are identical to :func:`batched_filter_from_logits`
     up to tie order (tested).
     """
-    from efficientdet_tpu.anchors import clip_boxes, decode_boxes
-
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    cand_logits, cand_boxes_a, num_classes = anchor_major_candidates(
+        anchors, box_out, cls_out, image_hw, config
+    )
+    return _pairs_and_suppress(
+        cand_logits, cand_boxes_a, num_classes, config, use_pallas
+    )
+
+
+def anchor_major_candidates(
+    anchors: jax.Array,
+    box_out,
+    cls_out,
+    image_hw: Tuple[int, int],
+    config: EvalConfig = EvalConfig(),
+):
+    """Candidate-building stage of the anchor-major front-end.
+
+    All the hand-computed flat-index arithmetic (level decomposition, row
+    gathers, anchors-table ids) lives here, separated from the suppression
+    fixpoint so the sanitizer tier can run it under ``checkify``
+    index-bounds checks (checkify cannot wrap the vmapped while-loop in
+    the suppression stage). Returns (cand_logits (B,Ka,C),
+    cand_boxes_a (B,Ka,4), num_classes).
+    """
+    from efficientdet_tpu.anchors import clip_boxes, decode_boxes
 
     z, amax_img, hws = cls_out
     zb, _ = box_out
@@ -485,9 +508,7 @@ def batched_filter_from_anchor_major_levels(
     cand_boxes_a = clip_boxes(
         decode_boxes(cand_deltas, cand_anchors), image_hw
     )
-    return _pairs_and_suppress(
-        cand_logits, cand_boxes_a, num_classes, config, use_pallas
-    )
+    return cand_logits, cand_boxes_a, num_classes
 
 
 def batched_filter_from_level_logits(
