@@ -1,14 +1,22 @@
-"""Benchmark harness: EfficientDet-D0 @512 batched inference throughput.
+"""Benchmark harness: EfficientDet batched-inference throughput on TPU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per metric; the LAST line is the driver's primary
+metric (BASELINE.json:2): COCO-val-style images/sec/chip at D0 512px, full
+pipeline on-device (normalise -> forward -> decode -> clip -> per-class
+NMS). The default (flagless) run emits, in order:
 
-Metric matches the driver's definition (BASELINE.json:2): COCO-val-style
-images/sec/chip at D0 512px, full pipeline on-device (normalise -> forward ->
-decode -> clip -> per-class NMS). ``vs_baseline`` is relative to the
-north-star target of 2000 img/s on v5e-8 = 250 img/s/chip (BASELINE.json:5).
+  {"check": "kernel_parity", ...}        compiled-Pallas == reference gate
+  {"metric": "d4_1024px_inference_throughput", ...}
+  {"metric": "d0_512px_mfu", ...}        roofline context (v5e bf16 peak)
+  {"metric": "d0_512px_inference_throughput", ...}   <- driver parses this
+
+``vs_baseline`` is relative to the north-star 2000 img/s on v5e-8 =
+250 img/s/chip for D0 (BASELINE.json:5) and the round-1 measured
+209 img/s/chip for D4.
 
 Run on the real chip:  PYTHONPATH=/root/.axon_site python bench.py
-Options: --phi N --batch B --dtype bf16|f32 --steps K
+Options: --phi N (bench only that phi) --batch B --dtype bf16|f32
+         --steps K --trace DIR --skip-parity
 """
 
 from __future__ import annotations
@@ -20,75 +28,215 @@ import time
 
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
-BASELINE_IMG_S_PER_CHIP = 250.0  # 2000 img/s on 8 chips
+D0_BASELINE_IMG_S_PER_CHIP = 250.0  # 2000 img/s on 8 chips
+D4_BASELINE_IMG_S_PER_CHIP = 209.0  # round-1 measured (README)
+V5E_BF16_PEAK_FLOPS = 197e12  # per chip
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--phi", type=int, default=0)
-    p.add_argument("--batch", type=int, default=128)
-    p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
-    p.add_argument("--steps", type=int, default=20)
-    p.add_argument("--warmup", type=int, default=3)
-    p.add_argument("--trace", default=None,
-                   help="directory: capture a jax.profiler trace of the "
-                   "timed steps")
-    args = p.parse_args()
+def run_kernel_parity():
+    """Compiled-on-this-backend Pallas kernels vs reference implementations.
 
+    VERDICT r1 weak #2 / next-round #7: CI exercises the kernels only in
+    interpret mode on CPU; a Mosaic lowering change must fail HERE, loudly,
+    not surface as silently wrong detections. Raises on mismatch (non-zero
+    bench rc -> red driver artifact).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from efficientdet_tpu.anchors import iou_matrix
+    from efficientdet_tpu.ops.nms import _fixpoint_suppress
+    from efficientdet_tpu.ops.nms_pallas import suppression_keep_mask
+    from efficientdet_tpu.ops.head_pallas import (
+        head_pointwise_anchor_major,
+        head_pointwise_reference,
+    )
+
+    on_tpu = jax.default_backend() == "tpu"
+    rng = np.random.RandomState(0)
+
+    # --- suppression kernel ---
+    B, K = 4, 1024
+    xy = rng.uniform(0, 400, (B, K, 2))
+    wh = rng.uniform(10, 150, (B, K, 2))
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1), jnp.float32)
+    classes = jnp.asarray(rng.randint(0, 16, (B, K)), jnp.int32)
+    valid = jnp.asarray(rng.rand(B, K) > 0.1)
+
+    def xla_keep(b, c, v):
+        def one(bx, cl, va):
+            ious = iou_matrix(bx, bx)
+            same = cl[:, None] == cl[None, :]
+            k = bx.shape[0]
+            tri = (
+                jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+                < jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+            )
+            return _fixpoint_suppress((ious > 0.5) & same & tri, va)
+
+        return jax.vmap(one)(b, c, v)
+
+    want = np.asarray(jax.jit(xla_keep)(boxes, classes, valid))
+    got = np.asarray(
+        jax.jit(
+            lambda b, c, v: suppression_keep_mask(
+                b, c, v, interpret=not on_tpu
+            )
+        )(boxes, classes, valid)
+    )
+    if not np.array_equal(got, want):
+        raise AssertionError(
+            f"suppression_keep_mask compiled-kernel MISMATCH: "
+            f"{int((got != want).sum())}/{got.size} elements differ"
+        )
+
+    # --- anchor-major head pointwise kernel ---
+    M, CIN, A, OUT = 1000, 64, 9, 12
+    x2d = jnp.asarray(rng.normal(size=(M, CIN)), jnp.float32)
+    kernel = jnp.asarray(rng.normal(size=(CIN, A * OUT)) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(A * OUT,)), jnp.float32)
+    z, amax, m = jax.jit(
+        lambda x, k, b: head_pointwise_anchor_major(
+            x, k, b, A, interpret=not on_tpu
+        )
+    )(x2d, kernel, bias)
+    zr, amaxr, _ = jax.jit(
+        lambda x, k, b: head_pointwise_reference(x, k, b, A)
+    )(x2d, kernel, bias)
+    if not np.allclose(
+        np.asarray(z)[:, :m], np.asarray(zr)[:, :m], atol=2e-5
+    ) or not np.allclose(
+        np.asarray(amax)[:, :m], np.asarray(amaxr)[:, :m], atol=2e-5
+    ):
+        dz = np.abs(np.asarray(z)[:, :m] - np.asarray(zr)[:, :m]).max()
+        raise AssertionError(
+            f"head_pointwise_anchor_major compiled-kernel MISMATCH: "
+            f"max|dz|={dz}"
+        )
+
+    print(
+        json.dumps(
+            {
+                "check": "kernel_parity",
+                "ok": True,
+                "backend": jax.default_backend(),
+                "compiled": bool(on_tpu),
+            }
+        ),
+        flush=True,
+    )
+
+
+def bench_phi(phi, batch, steps, warmup, dtype_name, trace_dir=None,
+              report_mfu=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     import efficientdet_tpu as ed
+    from efficientdet_tpu.models.detector import fuse_for_inference
+    from efficientdet_tpu.utils.profiling import flops_estimate
 
-    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
-    model, cfg = ed.build_efficientdet(args.phi, num_classes=90, dtype=dtype)
+    dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    model, cfg = ed.build_efficientdet(phi, num_classes=90, dtype=dtype)
     size = cfg.image_size
 
     rng = jax.random.PRNGKey(0)
     variables = model.init(rng, jnp.zeros((1, size, size, 3)))
     # Production inference path: BN folded into conv weights (exact).
-    from efficientdet_tpu.models.detector import fuse_for_inference
-
     model, variables = fuse_for_inference(model, variables)
     variables = jax.device_put(jax.tree.map(jnp.asarray, variables))
     predict = ed.make_predict_fn(model)
 
     images = jnp.asarray(
-        np.random.RandomState(0).randint(0, 256, (args.batch, size, size, 3)),
+        np.random.RandomState(0).randint(0, 256, (batch, size, size, 3)),
         jnp.uint8,
     )
     images = jax.device_put(images)
 
     # NOTE: on the axon relay backend block_until_ready can return before
     # execution completes; a host fetch (np.asarray) is the reliable fence.
-    for _ in range(args.warmup):
+    for _ in range(warmup):
         out = predict(variables, images)
     np.asarray(out[3])
 
-    if args.trace:
-        jax.profiler.start_trace(args.trace)
+    if trace_dir:
+        jax.profiler.start_trace(trace_dir)
     t0 = time.perf_counter()
-    for _ in range(args.steps):
+    for _ in range(steps):
         out = predict(variables, images)
     np.asarray(out[3])  # device executes in-order; fetching the last result
     dt = time.perf_counter() - t0  # fences the whole queue
-    if args.trace:
+    if trace_dir:
         jax.profiler.stop_trace()
 
     n_chips = jax.device_count()
-    img_s = args.steps * args.batch / dt
+    img_s = steps * batch / dt
     img_s_per_chip = img_s / n_chips
+
+    if report_mfu:
+        flops = flops_estimate(predict, variables, images)
+        if flops:
+            mfu = flops / batch * img_s_per_chip / V5E_BF16_PEAK_FLOPS
+            print(
+                json.dumps(
+                    {
+                        "metric": f"d{phi}_{size}px_mfu",
+                        "value": round(mfu, 4),
+                        "unit": "fraction_of_v5e_bf16_peak",
+                        "flops_per_image": round(flops / batch / 1e9, 2),
+                        "vs_baseline": round(mfu, 4),
+                    }
+                ),
+                flush=True,
+            )
+
+    baseline = (
+        D0_BASELINE_IMG_S_PER_CHIP if phi == 0 else D4_BASELINE_IMG_S_PER_CHIP
+    )
     print(
         json.dumps(
             {
-                "metric": f"d{args.phi}_{size}px_inference_throughput",
+                "metric": f"d{phi}_{size}px_inference_throughput",
                 "value": round(img_s_per_chip, 2),
                 "unit": "img/s/chip",
-                "vs_baseline": round(img_s_per_chip / BASELINE_IMG_S_PER_CHIP, 4),
+                "vs_baseline": round(img_s_per_chip / baseline, 4),
             }
-        )
+        ),
+        flush=True,
     )
+    return img_s_per_chip
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--phi", type=int, default=None,
+                   help="bench ONLY this phi (default: D4 then D0)")
+    p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--skip-parity", action="store_true")
+    p.add_argument("--trace", default=None,
+                   help="directory: capture a jax.profiler trace of the "
+                   "timed steps")
+    args = p.parse_args()
+
+    if not args.skip_parity:
+        run_kernel_parity()
+
+    if args.phi is not None:
+        bench_phi(args.phi, args.batch or 128, args.steps, args.warmup,
+                  args.dtype, args.trace, report_mfu=True)
+        return
+
+    # Driver metrics (BASELINE.json:2): D4@1024 first, D0@512 LAST (the
+    # driver parses the final JSON line as the primary metric).
+    bench_phi(4, args.batch or 64, max(args.steps // 2, 5), args.warmup,
+              args.dtype)
+    bench_phi(0, args.batch or 128, args.steps, args.warmup, args.dtype,
+              args.trace, report_mfu=True)
 
 
 if __name__ == "__main__":

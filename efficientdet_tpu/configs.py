@@ -127,10 +127,15 @@ class ModelConfig:
     anchor: AnchorConfig = AnchorConfig()
     # Backbone regularisation.
     survival_prob: float = 0.8  # drop-connect keep prob at the deepest block
-    # Rematerialise each MBConv block in the backward pass (jax.checkpoint):
-    # trades ~1 extra forward of backbone FLOPs for activation memory, the
-    # lever that fits D4+ *training* on a single chip's HBM.
+    # Rematerialise blocks in the backward pass (jax.checkpoint): trades
+    # ~1 extra forward of FLOPs for activation memory, the lever that fits
+    # D4+ *training* on a single chip's HBM.
     remat: bool = False
+    # Which components remat applies to: "full" (backbone + BiFPN + heads),
+    # "backbone" (MBConv blocks only — BiFPN/head activations saved), or
+    # "fpn" (BiFPN + heads only — backbone taps saved). Selective scopes
+    # skip recompute where activations are cheap relative to FLOPs.
+    remat_scope: str = "full"
     # Numerics.
     bn_momentum: float = 0.99
     bn_epsilon: float = 1e-3

@@ -57,6 +57,8 @@ class EfficientDet(nn.Module):
         cfg = self.config
         # freeze_bn: BN always uses running stats (reference freeze_bn flag).
         ura = (not train) or cfg.freeze_bn
+        remat_backbone = cfg.remat and cfg.remat_scope in ("full", "backbone")
+        remat_fpn = cfg.remat and cfg.remat_scope in ("full", "fpn")
         c3, c4, c5 = EfficientNet(
             model_name=cfg.backbone,
             survival_prob=cfg.survival_prob,
@@ -64,7 +66,7 @@ class EfficientDet(nn.Module):
             bn_epsilon=cfg.bn_epsilon,
             dtype=self.dtype,
             fuse_bn=self.fuse_bn,
-            remat=cfg.remat,
+            remat=remat_backbone,
             name="backbone",
         )(images, train=train, use_running_average=ura)
         feats = BiFPN(
@@ -75,7 +77,7 @@ class EfficientDet(nn.Module):
             bn_epsilon=cfg.bn_epsilon,
             dtype=self.dtype,
             fuse_bn=self.fuse_bn,
-            remat=cfg.remat,
+            remat=remat_fpn,
             name="bifpn",
         )(
             [c3, c4, c5], use_running_average=ura
@@ -89,7 +91,7 @@ class EfficientDet(nn.Module):
             bn_epsilon=cfg.bn_epsilon,
             dtype=self.dtype,
             fuse_bn=self.fuse_bn,
-            remat=cfg.remat,
+            remat=remat_fpn,
             name="class_net",
         )(
             feats,
@@ -105,7 +107,7 @@ class EfficientDet(nn.Module):
             bn_epsilon=cfg.bn_epsilon,
             dtype=self.dtype,
             fuse_bn=self.fuse_bn,
-            remat=cfg.remat,
+            remat=remat_fpn,
             name="box_net",
         )(
             feats,
@@ -124,8 +126,11 @@ def build_efficientdet(
     dtype: Dtype = jnp.float32,
     image_size: int | None = None,
     remat: bool = False,
+    remat_scope: str = "full",
 ) -> Tuple[EfficientDet, ModelConfig]:
     """The reference's ``efficientdet(phi, ...)`` builder."""
+    if remat_scope not in ("full", "backbone", "fpn"):
+        raise ValueError(f"remat_scope must be full|backbone|fpn, got {remat_scope!r}")
     config = ModelConfig.for_phi(
         phi,
         num_classes=num_classes,
@@ -136,7 +141,9 @@ def build_efficientdet(
     if remat:
         import dataclasses
 
-        config = dataclasses.replace(config, remat=True)
+        config = dataclasses.replace(
+            config, remat=True, remat_scope=remat_scope
+        )
     return EfficientDet(config=config, dtype=dtype), config
 
 

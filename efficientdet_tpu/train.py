@@ -71,8 +71,11 @@ def parse_args(argv=None):
         q.add_argument("--image-size", type=int, default=None)
         q.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
         q.add_argument("--remat", action="store_true",
-                       help="rematerialise backbone blocks in the backward "
+                       help="rematerialise blocks in the backward "
                        "pass (fits D4+ training on one chip)")
+        q.add_argument("--remat-scope", default="full",
+                       choices=["full", "backbone", "fpn"],
+                       help="which components remat applies to")
         q.add_argument("--log-file", default=None)
         q.add_argument("--tensorboard-dir", default=None,
                        help="write scalar summaries as TF event files "
@@ -141,6 +144,7 @@ def main(argv=None):
         dtype=dtype,
         image_size=args.image_size,
         remat=args.remat,
+        remat_scope=args.remat_scope,
     )
     size = cfg.image_size
     print(f"EfficientDet-D{args.phi} | {size}px | {num_classes} classes | "

@@ -7,7 +7,7 @@ import pytest
 
 from efficientdet_tpu.configs import EFFICIENTNET_B0_BLOCKS, BlockConfig
 from efficientdet_tpu.models.efficientnet import MBConvBlock
-from efficientdet_tpu.ops.mbconv_pallas import fused_mbconv_s1
+from mbconv_pallas import fused_mbconv_s1
 
 pytestmark = pytest.mark.slow  # compile-heavy: full-tier only (pytest -m '')
 

@@ -27,7 +27,10 @@ def main():
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--max-gt", type=int, default=100)
     p.add_argument("--remat", action="store_true",
-                   help="rematerialise backbone blocks (fits D4+ on one chip)")
+                   help="rematerialise blocks (fits D4+ on one chip)")
+    p.add_argument("--remat-scope", default="full",
+                   choices=["full", "backbone", "fpn"])
+    p.add_argument("--grad-accum-steps", type=int, default=1)
     p.add_argument("--trace", default=None,
                    help="directory: capture a jax.profiler trace of the "
                    "timed steps")
@@ -44,10 +47,12 @@ def main():
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     model, cfg = ed.build_efficientdet(
-        args.phi, num_classes=90, dtype=dtype, remat=args.remat
+        args.phi, num_classes=90, dtype=dtype, remat=args.remat,
+        remat_scope=args.remat_scope,
     )
     size = cfg.image_size
-    tc = TrainConfig(batch_size=args.batch, max_gt_boxes=args.max_gt)
+    tc = TrainConfig(batch_size=args.batch, max_gt_boxes=args.max_gt,
+                     grad_accum_steps=args.grad_accum_steps)
 
     mesh = make_mesh()
     state = create_train_state(model, tc, jax.random.PRNGKey(0))
