@@ -20,7 +20,6 @@ CLI::
 from __future__ import annotations
 
 import argparse
-import functools
 from typing import Optional, Tuple
 
 import numpy as np
@@ -69,6 +68,10 @@ class Predictor:
                 jax.random.PRNGKey(seed), jnp.zeros((1, size, size, 3))
             )
         self.variables = variables
+        # Per-INSTANCE jit cache keyed on source shape. (An lru_cache on the
+        # bound method would pin `self` — params included — in a global
+        # cache for the process lifetime and alias across instances.)
+        self._run_cache: dict = {}
 
     @classmethod
     def from_checkpoint(cls, path: str, **kwargs) -> "Predictor":
@@ -79,9 +82,11 @@ class Predictor:
         p.variables = load_params(path, template)
         return p
 
-    @functools.lru_cache(maxsize=8)
     def _compiled(self, h: int, w: int):
         """One fused program per source shape: preprocess+model+decode+NMS."""
+        cached = self._run_cache.get((h, w))
+        if cached is not None:
+            return cached
         import jax
         import jax.numpy as jnp
 
@@ -111,6 +116,9 @@ class Predictor:
             )
             return b / scale, s, c, n
 
+        if len(self._run_cache) >= 8:  # bound the per-shape program cache
+            self._run_cache.pop(next(iter(self._run_cache)))
+        self._run_cache[(h, w)] = run
         return run
 
     def __call__(
