@@ -1,6 +1,7 @@
 """Device-mesh sharding: data-parallel training and inference over ICI."""
 
 from efficientdet_tpu.parallel.sharding import (
+    data_sharding,
     make_mesh,
     replicate,
     shard_batch,

@@ -1,0 +1,165 @@
+"""Multi-PROCESS data-parallel dry run (the multi-host training analog).
+
+The single-process dryrun (``__graft_entry__.dryrun_multichip``) validates
+sharding across devices inside one process — the ICI path. Real pods add a
+second boundary: multiple HOSTS, each seeing only its local devices, with
+JAX's distributed runtime stitching them into one global mesh (DCN path).
+This tool exercises that topology without hardware: N processes x M virtual
+CPU devices each, ``jax.distributed.initialize`` against a local
+coordinator, a global (1, N*M) data mesh, per-process local batches
+assembled into a global array via ``jax.make_array_from_process_local_data``,
+and ONE sharded train step. Success criterion: every process reports the
+same finite loss (the gradient psum crossed the process boundary).
+
+Usage:
+  python tools/multiprocess_dryrun.py             # spawn 2 procs x 4 devices
+  python tools/multiprocess_dryrun.py --procs 2 --local-devices 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def worker(proc_id: int, n_procs: int, local_devices: int, port: int) -> None:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={local_devices}"
+        ).strip()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=n_procs,
+        process_id=proc_id,
+        local_device_ids=list(range(local_devices)),
+    )
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from efficientdet_tpu.configs import ModelConfig, TrainConfig
+    from efficientdet_tpu.models.detector import EfficientDet
+    from efficientdet_tpu.parallel import (
+        data_sharding,
+        make_mesh,
+        make_sharded_train_step,
+    )
+    from efficientdet_tpu.train_lib import create_train_state
+
+    n_global = jax.device_count()
+    assert n_global == n_procs * local_devices, (
+        f"global devices {n_global} != {n_procs}x{local_devices}"
+    )
+    mesh = make_mesh()  # all global devices
+
+    cfg = dataclasses.replace(
+        ModelConfig.for_phi(0, num_classes=8, image_size=128),
+        bifpn_width=16,
+        bifpn_depth=1,
+        head_depth=1,
+    )
+    model = EfficientDet(config=cfg)
+    tc = TrainConfig(batch_size=n_global)
+    state = create_train_state(model, tc, jax.random.PRNGKey(0))
+    state = jax.device_put(
+        state, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    )
+
+    # Per-process LOCAL slice of the global batch (each host loads its own
+    # data shard in production); identical global content across runs.
+    rng = np.random.RandomState(0)
+    g_images = rng.uniform(-1, 1, (n_global, 128, 128, 3)).astype(np.float32)
+    g_boxes = np.tile(
+        np.asarray([[10.0, 10.0, 60.0, 60.0]], np.float32), (n_global, 1, 1)
+    )
+    g_labels = np.ones((n_global, 1), np.int32)
+    lo = proc_id * local_devices
+    hi = lo + local_devices
+    sh = data_sharding(mesh)
+    batch = {
+        "images": jax.make_array_from_process_local_data(sh, g_images[lo:hi]),
+        "gt_boxes": jax.make_array_from_process_local_data(sh, g_boxes[lo:hi]),
+        "gt_labels": jax.make_array_from_process_local_data(
+            sh, g_labels[lo:hi]
+        ),
+    }
+
+    step = make_sharded_train_step(model, tc, mesh, donate_state=False)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    jax.block_until_ready(new_state.params)
+    loss = float(metrics["loss"])
+    assert np.isfinite(loss), loss
+    print(
+        f"proc {proc_id}/{n_procs}: loss={loss:.6f} "
+        f"global_devices={n_global} mesh={dict(mesh.shape)}",
+        flush=True,
+    )
+    jax.distributed.shutdown()
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--procs", type=int, default=2)
+    p.add_argument("--local-devices", type=int, default=4)
+    p.add_argument("--port", type=int, default=12355)
+    p.add_argument("--worker", type=int, default=None, help=argparse.SUPPRESS)
+    args = p.parse_args()
+
+    if args.worker is not None:
+        worker(args.worker, args.procs, args.local_devices, args.port)
+        return
+
+    procs = []
+    for i in range(args.procs):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PALLAS_AXON_POOL_IPS"] = ""  # disable the TPU plugin gate
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, os.path.abspath(__file__),
+                    "--worker", str(i),
+                    "--procs", str(args.procs),
+                    "--local-devices", str(args.local_devices),
+                    "--port", str(args.port),
+                ],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    losses = []
+    ok = True
+    for i, pr in enumerate(procs):
+        out, _ = pr.communicate(timeout=1200)
+        sys.stdout.write(out)
+        ok &= pr.returncode == 0
+        for line in out.splitlines():
+            if line.startswith(f"proc {i}/"):
+                losses.append(line.split("loss=")[1].split()[0])
+    if not ok or len(losses) != args.procs or len(set(losses)) != 1:
+        raise SystemExit(
+            f"multiprocess dryrun FAILED: rc_ok={ok} losses={losses}"
+        )
+    print(
+        f"multiprocess_dryrun: ok — {args.procs} processes x "
+        f"{args.local_devices} devices, identical loss {losses[0]}"
+    )
+
+
+if __name__ == "__main__":
+    main()
