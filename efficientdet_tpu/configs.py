@@ -232,6 +232,11 @@ class TrainConfig:
     # (plateau logic lives in the host loop); 'cosine' is the TPU-native path.
     lr_schedule: str = "constant"
     warmup_steps: int = 0
+    # Compute the loss from per-level head conv outputs instead of the
+    # concatenated (B, A_total, C) tensor. Same math (tested identical);
+    # avoids the two largest train-step allocations at D4/b16 (level concat
+    # + anchor-major reshape copies). False = reference-shaped concat path.
+    per_level_loss: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -95,6 +95,126 @@ def smooth_l1_loss(
     return jnp.mean(per_image)
 
 
+def _focal_elementwise(
+    cls_logits: jax.Array,
+    cls_targets: jax.Array,
+    alpha: float,
+    gamma: float,
+) -> jax.Array:
+    """Per-element focal loss (B, ..., C); targets may be compact labels."""
+    cls_logits = cls_logits.astype(jnp.float32)
+    p = jax.nn.sigmoid(cls_logits)
+    if cls_targets.ndim == cls_logits.ndim - 1:
+        labels = cls_targets.astype(jnp.int32)[..., None]
+        c = cls_logits.shape[-1]
+        iota = jax.lax.broadcasted_iota(
+            jnp.int32, (1,) * (labels.ndim - 1) + (c,), labels.ndim - 1
+        )
+        t = (labels == iota).astype(jnp.float32)  # fused, never materialised
+    else:
+        t = cls_targets.astype(jnp.float32)
+    alpha_factor = jnp.where(t == 1.0, alpha, 1.0 - alpha)
+    focal_weight = jnp.where(t == 1.0, 1.0 - p, p) ** gamma
+    bce = jnp.maximum(cls_logits, 0.0) - cls_logits * t + jnp.log1p(
+        jnp.exp(-jnp.abs(cls_logits))
+    )
+    return alpha_factor * focal_weight * bce
+
+
+def _huber_elementwise(
+    box_preds: jax.Array, box_targets: jax.Array, sigma: float
+) -> jax.Array:
+    sigma_sq = sigma ** 2
+    diff = jnp.abs(
+        box_preds.astype(jnp.float32) - box_targets.astype(jnp.float32)
+    )
+    return jnp.where(
+        diff < 1.0 / sigma_sq,
+        0.5 * sigma_sq * diff ** 2,
+        diff - 0.5 / sigma_sq,
+    )
+
+
+def detection_loss_from_levels(
+    cls_levels,
+    box_levels,
+    cls_targets: jax.Array,
+    box_targets: jax.Array,
+    anchor_state: jax.Array,
+    num_anchors: int,
+    alpha: float = 0.25,
+    gamma: float = 2.0,
+    sigma: float = 3.0,
+):
+    """:func:`detection_loss` consuming PER-LEVEL head conv outputs directly.
+
+    Same math as concatenating levels into (B, A_total, C)/(B, A_total, 4)
+    and calling :func:`detection_loss` — but the concatenated tensors never
+    exist. The D4/b16 OOM dump showed the concat build as two of the largest
+    allocations in the train step (reshape copy 576 MB + dynamic-update-
+    slice 767 MB for class logits alone): the loss here reduces each level
+    in (a bitcast view of) its conv layout, so those copies and their
+    backward twins disappear.
+
+    Args:
+      cls_levels: list of (B, H, W, A*C) raw head outputs, level-major order
+        matching ``anchors_for_shape``.
+      box_levels: list of (B, H, W, A*4).
+      cls_targets: (B, A_total) compact int labels (-1 = none).
+      box_targets: (B, A_total, 4) encoded deltas.
+      anchor_state: (B, A_total) in {-1, 0, 1}.
+      num_anchors: anchors per cell (A).
+    """
+    bsz = anchor_state.shape[0]
+    num_pos = jnp.sum((anchor_state == 1.0).astype(jnp.float32), axis=1)
+    normalizer = jnp.maximum(num_pos, 1.0)
+
+    def level_sums(cl, bl, off):
+        b, h, w, ac = cl.shape
+        a = num_anchors
+        c = ac // a
+        n = h * w * a
+        labels = cls_targets[:, off : off + n].reshape(b, h, w, a)
+        state = anchor_state[:, off : off + n].reshape(b, h, w, a)
+        include = (state != -1.0).astype(jnp.float32)
+        positive = (state == 1.0).astype(jnp.float32)
+
+        # (B,H,W,A*C) -> (B,H,W,A,C) splits only the minor dim: a bitcast
+        # view, no relayout. The focal chain + one-hot iota-compare + the
+        # include mask fuse into one reduction over the conv-layout tensor.
+        focal = _focal_elementwise(
+            cl.reshape(b, h, w, a, c), labels, alpha, gamma
+        )
+        cls_sum = jnp.sum(
+            jnp.sum(focal, axis=4) * include, axis=(1, 2, 3)
+        )  # (B,)
+
+        bt = box_targets[:, off : off + n].reshape(b, h, w, a, 4)
+        huber = _huber_elementwise(bl.reshape(b, h, w, a, 4), bt, sigma)
+        box_sum = jnp.sum(
+            jnp.sum(huber, axis=4) * positive, axis=(1, 2, 3)
+        )
+        return cls_sum, box_sum, n
+
+    # jax.checkpoint per level: autodiff would otherwise save level-sized
+    # focal intermediates for the backward pass; recompute them from the
+    # logits instead (same policy as detection_loss).
+    off = 0
+    cls_total = jnp.zeros((bsz,), jnp.float32)
+    box_total = jnp.zeros((bsz,), jnp.float32)
+    for cl, bl in zip(cls_levels, box_levels):
+        csum, bsum = jax.checkpoint(
+            lambda cl, bl, off=off: level_sums(cl, bl, off)[:2]
+        )(cl, bl)
+        cls_total = cls_total + csum
+        box_total = box_total + bsum
+        off += cl.shape[1] * cl.shape[2] * num_anchors
+
+    cls_loss = jnp.mean(cls_total / normalizer)
+    box_loss = jnp.mean(box_total / normalizer)
+    return cls_loss + box_loss, {"cls_loss": cls_loss, "box_loss": box_loss}
+
+
 def detection_loss(
     cls_logits: jax.Array,
     box_preds: jax.Array,

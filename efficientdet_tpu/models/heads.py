@@ -269,12 +269,13 @@ class _Head(nn.Module):
 def _head_cls(remat, return_raw_levels, return_anchor_major_levels):
     """_Head, optionally remat-wrapped (ModelConfig.remat).
 
-    Only the plain concat-output path is checkpointable (the raw-level /
-    anchor-major variants return static aux like per-level pixel counts,
-    which jax.checkpoint outputs cannot carry) — and only that path is used
-    by training, which is where activation memory matters.
+    The concat-output and raw-level paths are checkpointable (their outputs
+    are arrays / lists of arrays); the anchor-major variant is not (it
+    returns static aux like per-level pixel counts, which jax.checkpoint
+    outputs cannot carry) — and it is inference-only anyway, where
+    activation memory does not matter.
     """
-    if remat and not (return_raw_levels or return_anchor_major_levels):
+    if remat and not return_anchor_major_levels:
         # (self, feats, ura, raw, anchor_major) -> statics 2, 3, 4.
         return nn.remat(_Head, static_argnums=(2, 3, 4))
     return _Head

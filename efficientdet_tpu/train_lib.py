@@ -25,7 +25,7 @@ import optax
 
 from efficientdet_tpu.anchors import anchor_targets_batch_compact, anchors_for_shape
 from efficientdet_tpu.configs import TrainConfig
-from efficientdet_tpu.losses import detection_loss
+from efficientdet_tpu.losses import detection_loss, detection_loss_from_levels
 from efficientdet_tpu.models.detector import EfficientDet
 from efficientdet_tpu.ops.preprocess import preprocess_batch_fixed
 
@@ -127,16 +127,25 @@ def make_eval_loss_fn(
         images = batch["images"]
         if images.dtype == jnp.uint8:
             images = preprocess_batch_fixed(images, dtype=jnp.float32)
-        cls_logits, box_preds = model.apply(
+        outputs = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             images,
             train=False,
+            return_raw_levels=config.per_level_loss,
         )
-        total, aux = detection_loss(
-            cls_logits, box_preds, cls_t, box_t, state_t,
-            alpha=config.focal_alpha, gamma=config.focal_gamma,
-            sigma=config.huber_sigma,
-        )
+        if config.per_level_loss:
+            total, aux = detection_loss_from_levels(
+                *outputs, cls_t, box_t, state_t,
+                num_anchors=cfg.num_anchors_per_cell,
+                alpha=config.focal_alpha, gamma=config.focal_gamma,
+                sigma=config.huber_sigma,
+            )
+        else:
+            total, aux = detection_loss(
+                *outputs, cls_t, box_t, state_t,
+                alpha=config.focal_alpha, gamma=config.focal_gamma,
+                sigma=config.huber_sigma,
+            )
         return {"val_loss": total, **{f"val_{k}": v for k, v in aux.items()}}
 
     return eval_loss
@@ -171,23 +180,39 @@ def make_train_step(
             config.positive_iou,
             config.negative_iou,
         )
-        (cls_logits, box_preds), mutated = model.apply(
+        outputs, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             images,
             train=True,
+            return_raw_levels=config.per_level_loss,
             rngs={"dropout": rng},
             mutable=["batch_stats"],
         )
-        total, aux = detection_loss(
-            cls_logits,
-            box_preds,
-            cls_t,
-            box_t,
-            state_t,
-            alpha=config.focal_alpha,
-            gamma=config.focal_gamma,
-            sigma=config.huber_sigma,
-        )
+        if config.per_level_loss:
+            cls_levels, box_levels = outputs
+            total, aux = detection_loss_from_levels(
+                cls_levels,
+                box_levels,
+                cls_t,
+                box_t,
+                state_t,
+                num_anchors=cfg.num_anchors_per_cell,
+                alpha=config.focal_alpha,
+                gamma=config.focal_gamma,
+                sigma=config.huber_sigma,
+            )
+        else:
+            cls_logits, box_preds = outputs
+            total, aux = detection_loss(
+                cls_logits,
+                box_preds,
+                cls_t,
+                box_t,
+                state_t,
+                alpha=config.focal_alpha,
+                gamma=config.focal_gamma,
+                sigma=config.huber_sigma,
+            )
         aux["num_positives"] = jnp.mean(jnp.sum(state_t == 1.0, axis=1))
         return total, (aux, mutated["batch_stats"])
 

@@ -2,6 +2,7 @@
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -96,3 +97,96 @@ def test_detection_loss_composes():
     total, aux = detection_loss(logits, box, cls_t, box_t, state)
     assert float(total) == float(aux["cls_loss"]) + float(aux["box_loss"])
     assert np.isfinite(float(total))
+
+
+class TestPerLevelLoss:
+    """detection_loss_from_levels == detection_loss on the concat tensors."""
+
+    def _make(self, seed=0, bsz=2, num_anchors=9, num_classes=6):
+        rng = np.random.RandomState(seed)
+        hw = [(8, 8), (4, 4), (2, 2)]
+        cls_levels, box_levels = [], []
+        for h, w in hw:
+            cls_levels.append(jnp.asarray(
+                rng.randn(bsz, h, w, num_anchors * num_classes), jnp.float32
+            ))
+            box_levels.append(jnp.asarray(
+                rng.randn(bsz, h, w, num_anchors * 4), jnp.float32
+            ))
+        a_total = sum(h * w * num_anchors for h, w in hw)
+        cls_t = jnp.asarray(
+            rng.randint(-1, num_classes, (bsz, a_total)), jnp.int32
+        )
+        box_t = jnp.asarray(rng.randn(bsz, a_total, 4), jnp.float32)
+        state = jnp.asarray(
+            rng.choice([-1.0, 0.0, 1.0], (bsz, a_total), p=[0.1, 0.8, 0.1]),
+            jnp.float32,
+        )
+        return cls_levels, box_levels, cls_t, box_t, state, num_anchors, num_classes
+
+    @staticmethod
+    def _concat(levels, num_anchors, out):
+        bsz = levels[0].shape[0]
+        return jnp.concatenate(
+            [l.reshape(bsz, -1, out) for l in levels], axis=1
+        )
+
+    def test_matches_concat_path(self):
+        from efficientdet_tpu.losses import (
+            detection_loss,
+            detection_loss_from_levels,
+        )
+
+        cls_l, box_l, cls_t, box_t, state, A, C = self._make()
+        want, waux = detection_loss(
+            self._concat(cls_l, A, C), self._concat(box_l, A, 4),
+            cls_t, box_t, state,
+        )
+        got, gaux = detection_loss_from_levels(
+            cls_l, box_l, cls_t, box_t, state, num_anchors=A
+        )
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+        np.testing.assert_allclose(
+            float(gaux["cls_loss"]), float(waux["cls_loss"]), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(gaux["box_loss"]), float(waux["box_loss"]), rtol=1e-5
+        )
+
+    def test_gradients_match_concat_path(self):
+        from efficientdet_tpu.losses import (
+            detection_loss,
+            detection_loss_from_levels,
+        )
+
+        cls_l, box_l, cls_t, box_t, state, A, C = self._make(seed=1)
+
+        def loss_levels(cls_l, box_l):
+            return detection_loss_from_levels(
+                cls_l, box_l, cls_t, box_t, state, num_anchors=A
+            )[0]
+
+        def loss_concat(cls_l, box_l):
+            return detection_loss(
+                self._concat(cls_l, A, C), self._concat(box_l, A, 4),
+                cls_t, box_t, state,
+            )[0]
+
+        g1 = jax.grad(loss_levels, argnums=(0, 1))(cls_l, box_l)
+        g2 = jax.grad(loss_concat, argnums=(0, 1))(cls_l, box_l)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6
+            )
+
+    def test_no_positives(self):
+        from efficientdet_tpu.losses import detection_loss_from_levels
+
+        cls_l, box_l, cls_t, box_t, state, A, C = self._make(seed=2)
+        state = jnp.zeros_like(state)  # all negative
+        cls_t = jnp.full_like(cls_t, -1)
+        total, aux = detection_loss_from_levels(
+            cls_l, box_l, cls_t, box_t, state, num_anchors=A
+        )
+        assert np.isfinite(float(total))
+        assert float(aux["box_loss"]) == 0.0

@@ -234,3 +234,24 @@ class TestLrScale:
             jax.tree.leaves(state.params), jax.tree.leaves(new.params)
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestPerLevelLossPath:
+    def test_per_level_matches_concat_step(self):
+        """TrainConfig.per_level_loss must be a pure layout change: the full
+        jitted step (fwd+bwd+Adam) gives identical loss and params."""
+        model, cfg = tiny_model()
+        batch = synth_batch(np.random.RandomState(7), 2, 128, 4)
+        rng = jax.random.PRNGKey(0)
+        results = []
+        for flag in (True, False):
+            tc = TrainConfig(batch_size=2, per_level_loss=flag)
+            state = create_train_state(model, tc, jax.random.PRNGKey(0))
+            s, m = jax.jit(make_train_step(model, tc))(state, batch, rng)
+            results.append((s, m))
+        (s1, m1), (s2, m2) = results
+        np.testing.assert_allclose(
+            float(m1["loss"]), float(m2["loss"]), rtol=1e-5
+        )
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
