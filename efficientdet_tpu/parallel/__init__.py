@@ -6,5 +6,6 @@ from efficientdet_tpu.parallel.sharding import (
     replicate,
     shard_batch,
     make_sharded_predict_fn,
+    make_spatial_predict_fn,
     make_sharded_train_step,
 )

@@ -123,3 +123,53 @@ def make_sharded_predict_fn(
         return shmapped(variables, images)
 
     return predict
+
+
+def make_spatial_predict_fn(
+    model: EfficientDet,
+    mesh: Mesh,
+    eval_config: EvalConfig = EvalConfig(),
+    preprocess: bool = True,
+):
+    """Spatially-partitioned inference: shard the CONV GRID, not the batch.
+
+    The convnet analog of sequence/context parallelism (SURVEY.md §5
+    "Long-context"): activation memory grows quadratically in image side
+    exactly as KV memory grows in context length, and the lever is the
+    same — split the big axis over chips. Here the image HEIGHT dim is
+    sharded over the mesh's data axis; XLA GSPMD partitions every conv and
+    pooling op spatially, inserting halo exchanges over ICI at the shard
+    seams (the convnet's ring-attention). Params are replicated. After the
+    heads, outputs are re-replicated and decode + NMS run on the gathered
+    logits (their data-dependent gathers don't partition spatially).
+
+    Use when ONE image is too large for a chip's HBM (ultra-high-res D7+),
+    or to cut single-image latency; for throughput, batch data-parallelism
+    (``make_sharded_predict_fn``) is the right tool. Bit-identical to
+    single-device predict (tested on the virtual mesh).
+    """
+    from efficientdet_tpu.anchors import anchors_for_shape
+    from efficientdet_tpu.ops.nms import batched_filter_from_logits
+    from efficientdet_tpu.ops.preprocess import preprocess_batch_fixed
+
+    spatial = NamedSharding(mesh, P(None, DATA_AXIS))  # (B, H, W, C): shard H
+    repl = replicate(mesh)
+
+    def run(variables, images):
+        size = images.shape[1]
+        if preprocess:
+            images = preprocess_batch_fixed(images, dtype=model.dtype)
+        images = jax.lax.with_sharding_constraint(images, spatial)
+        # GSPMD partitions every conv/pool spatially between these two
+        # constraints (halo exchanges over ICI at the shard seams).
+        cls_logits, box_deltas = model.apply(variables, images, train=False)
+        cls_logits = jax.lax.with_sharding_constraint(cls_logits, repl)
+        box_deltas = jax.lax.with_sharding_constraint(box_deltas, repl)
+        anchors = jnp.asarray(
+            anchors_for_shape((size, size), model.config.anchor)
+        )
+        return batched_filter_from_logits(
+            anchors, box_deltas, cls_logits, (size, size), eval_config
+        )
+
+    return jax.jit(run, in_shardings=(repl, spatial), out_shardings=repl)

@@ -182,3 +182,43 @@ class TestPerLevelPath:
             np.testing.assert_allclose(
                 np.asarray(a[1][i])[:n], np.asarray(b[1][i])[:n], atol=1e-5
             )
+
+
+class TestSpatialPredict:
+    def test_matches_single_device(self):
+        """Conv-grid (H-axis) sharding over the mesh — the long-context /
+        context-parallel analog (SURVEY.md §5): GSPMD inserts halo
+        exchanges at shard seams; detections must equal the unsharded
+        pipeline exactly."""
+        import dataclasses
+
+        from efficientdet_tpu.models.detector import predict_pipeline
+        from efficientdet_tpu.parallel import make_mesh, make_spatial_predict_fn
+
+        cfg = dataclasses.replace(
+            ModelConfig.for_phi(0, num_classes=8, image_size=128),
+            bifpn_width=16,
+            bifpn_depth=1,
+            head_depth=1,
+        )
+        model = EfficientDet(config=cfg)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3))
+        )
+        mesh = make_mesh()
+        ec = EvalConfig(approx_anchor_prefilter=False)
+        images = jnp.asarray(
+            np.random.RandomState(0).randint(0, 255, (2, 128, 128, 3)),
+            jnp.uint8,
+        )
+        sp = make_spatial_predict_fn(model, mesh, ec)
+        repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        got = sp(jax.device_put(variables, repl), images)
+        want = jax.jit(
+            lambda v, im: predict_pipeline(model, v, im, ec, front_end="concat")
+        )(variables, images)
+        for name, a, b in zip(("boxes", "scores", "classes", "n"), got, want):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                atol=1e-4, err_msg=name,
+            )
