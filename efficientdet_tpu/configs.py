@@ -237,6 +237,13 @@ class TrainConfig:
     # avoids the two largest train-step allocations at D4/b16 (level concat
     # + anchor-major reshape copies). False = reference-shaped concat path.
     per_level_loss: bool = True
+    # Run random affine + colour augmentation ON DEVICE inside the jitted
+    # train step (ops/augment.py) instead of per-image on the host. The
+    # host's per-image work drops to decode + letterbox — the TPU-native
+    # answer to a 1-core host feeding a many-chip mesh. Off by default:
+    # the host path is the reference-shaped default.
+    device_augment: bool = False
+    device_augment_color: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

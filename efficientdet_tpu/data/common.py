@@ -162,6 +162,10 @@ def batch_iterator(
             gt_boxes = np.zeros((batch_size, max_gt, 4), np.float32)
             gt_labels = np.full((batch_size, max_gt), -1, np.int32)
             scales = np.zeros((batch_size,), np.float32)
+            # (scaled_h, scaled_w) visible-image extent per canvas; the
+            # device-augment path clips transformed boxes against this
+            # (ops/augment.py) exactly as the host paths below do.
+            extents = np.zeros((batch_size, 2), np.float32)
 
             def load_one(bi, di, aug_seed):
                 img = dataset.load_image(int(di))
@@ -196,6 +200,7 @@ def batch_iterator(
                         )
                         images[bi] = canvas
                         scales[bi] = scale
+                        extents[bi] = extent
                         k = min(len(boxes), max_gt)
                         if k:
                             gt_boxes[bi, :k] = boxes[:k]
@@ -208,6 +213,11 @@ def batch_iterator(
                 canvas, scale = letterbox_hostside(img, target_size)
                 images[bi] = canvas
                 scales[bi] = scale
+                h_img, w_img = img.shape[:2]
+                extents[bi] = (
+                    int(round(h_img * scale)),
+                    int(round(w_img * scale)),
+                )
                 k = min(len(boxes), max_gt)
                 if k:
                     gt_boxes[bi, :k] = boxes[:k] * scale
@@ -224,6 +234,7 @@ def batch_iterator(
                 "gt_boxes": gt_boxes,
                 "gt_labels": gt_labels,
                 "scales": scales,
+                "extents": extents,
                 "indices": chunk.astype(np.int32),
             }
         if not repeat:

@@ -77,12 +77,14 @@ def make_sharded_train_step(
     step_fn = make_train_step(model, config, image_size)
     repl = replicate(mesh)
     data = data_sharding(mesh)
-    batch_shardings = {"images": data, "gt_boxes": data, "gt_labels": data}
 
-    # Sharding pytree prefixes: `repl` broadcasts over the whole TrainState.
+    # Sharding pytree prefixes: `repl` broadcasts over the whole TrainState,
+    # `data` over every batch leaf (images/gt_boxes/gt_labels and any
+    # extras like the device-augment extents — all carry a leading batch
+    # axis).
     return jax.jit(
         step_fn,
-        in_shardings=(repl, batch_shardings, repl),
+        in_shardings=(repl, data, repl),
         donate_argnums=(0,) if donate_state else (),
     )
 

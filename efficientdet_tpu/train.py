@@ -61,6 +61,11 @@ def parse_args(argv=None):
                             "(reference semantics; needs converted weights)")
         q.add_argument("--snapshot-path", default="checkpoints")
         q.add_argument("--random-transform", action="store_true")
+        q.add_argument("--device-augment", action="store_true",
+                       help="run random affine + colour augmentation ON "
+                       "DEVICE inside the jitted step (ops/augment.py); "
+                       "the host only decodes + letterboxes. Implies the "
+                       "--random-transform family of transforms.")
         q.add_argument("--compute-val-loss", action="store_true")
         q.add_argument("--max-gt", type=int, default=100)
         q.add_argument("--grad-accum-steps", type=int, default=1,
@@ -160,6 +165,7 @@ def main(argv=None):
         freeze_backbone=args.freeze_backbone,
         grad_accum_steps=args.grad_accum_steps,
         ema_decay=args.ema_decay,
+        device_augment=args.device_augment,
     )
     # Persist configs next to the snapshots: restore (evaluate.py, --snapshot
     # resume) must rebuild a TrainState template with the SAME structure
@@ -205,7 +211,11 @@ def main(argv=None):
     )
     step_fn = make_sharded_train_step(model, tc, mesh)
 
-    augment = make_augmenter() if args.random_transform else None
+    augment = (
+        make_augmenter()
+        if args.random_transform and not args.device_augment
+        else None
+    )
     from efficientdet_tpu.data.common import prefetch
 
     it = prefetch(
@@ -249,14 +259,15 @@ def main(argv=None):
         for s in range(steps_per_epoch):
             batch = next(it)
             # uint8 batch; the jitted step normalises on-device (fused)
-            device_batch = shard_batch(
-                {
-                    "images": batch["images"],
-                    "gt_boxes": batch["gt_boxes"],
-                    "gt_labels": batch["gt_labels"],
-                },
-                mesh,
-            )
+            step_batch = {
+                "images": batch["images"],
+                "gt_boxes": batch["gt_boxes"],
+                "gt_labels": batch["gt_labels"],
+            }
+            if args.device_augment:
+                # visible-image extent per canvas: device-side box clipping
+                step_batch["extents"] = batch["extents"]
+            device_batch = shard_batch(step_batch, mesh)
             state, metrics = step_fn(state, device_batch, step_rng)
             if s % 50 == 0 or s == steps_per_epoch - 1:
                 m = {k: float(v) for k, v in metrics.items()}

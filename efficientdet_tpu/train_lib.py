@@ -170,13 +170,28 @@ def make_train_step(
 
     def loss_fn(params, batch_stats, batch, rng):
         images = batch["images"]
-        if images.dtype == jnp.uint8:
+        gt_boxes, gt_labels = batch["gt_boxes"], batch["gt_labels"]
+        if config.device_augment:
+            # random affine + colour fused into the step (ops/augment.py):
+            # the host only decodes + letterboxes.
+            from efficientdet_tpu.ops.augment import augment_batch_device
+
+            rng, aug_rng = jax.random.split(rng)
+            images, gt_boxes, gt_labels = augment_batch_device(
+                aug_rng,
+                images,
+                gt_boxes,
+                gt_labels,
+                extents=batch.get("extents"),
+                color=config.device_augment_color,
+            )
+        if images.dtype != jnp.float32 or config.device_augment:
             # fused normalise inside the step (north star: one XLA program)
             images = preprocess_batch_fixed(images, dtype=jnp.float32)
         cls_t, box_t, state_t = anchor_targets_batch_compact(
             anchors,
-            batch["gt_boxes"],
-            batch["gt_labels"],
+            gt_boxes,
+            gt_labels,
             config.positive_iou,
             config.negative_iou,
         )
