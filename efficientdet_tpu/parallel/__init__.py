@@ -8,4 +8,5 @@ from efficientdet_tpu.parallel.sharding import (
     make_sharded_predict_fn,
     make_spatial_predict_fn,
     make_sharded_train_step,
+    make_spatial_train_step,
 )

@@ -175,3 +175,66 @@ def make_spatial_predict_fn(
         )
 
     return jax.jit(run, in_shardings=(repl, spatial), out_shardings=repl)
+
+
+def make_spatial_train_step(
+    model: EfficientDet,
+    config: TrainConfig,
+    mesh: Mesh,
+    image_size: Optional[int] = None,
+    donate_state: bool = True,
+):
+    """Spatially-partitioned TRAINING: shard the conv grid, not the batch.
+
+    The training-side counterpart of :func:`make_spatial_predict_fn` and
+    the convnet analog of context/sequence-parallel training (SURVEY.md §5
+    "Long-context"): the batch is replicated but every activation is split
+    along image HEIGHT over the mesh, so per-chip activation memory — the
+    thing that forces rematerialisation at D4+ — drops by the mesh size.
+    GSPMD partitions each conv forward AND backward spatially (halo
+    exchanges over ICI at the shard seams), inserts the cross-shard psums
+    for BatchNorm statistics and the loss/gradient reductions, and keeps
+    params + optimizer state replicated, so the update is bit-for-bit the
+    single-device update (tested on the virtual mesh).
+
+    Use when per-chip HBM, not throughput, is the binding constraint
+    (ultra-high-res D5–D7 training, or D4 without remat); for throughput,
+    batch data-parallelism (:func:`make_sharded_train_step`) is strictly
+    better — halos cost ICI traffic every conv, a pure-DP step none.
+    Composes with ``config.device_augment`` (the warp's gathers re-gather
+    rows over ICI once per step, before the conv stack).
+    """
+    step_fn = make_train_step(model, config, image_size)
+    repl = replicate(mesh)
+    spatial = NamedSharding(mesh, P(None, DATA_AXIS))  # (B, H, W, 3)
+
+    def spatial_batch_sharding(batch: Dict[str, Any]):
+        return {
+            k: (spatial if k == "images" else repl) for k in batch
+        }
+
+    def step(state, batch, rng):
+        batch = dict(batch)
+        batch["images"] = jax.lax.with_sharding_constraint(
+            batch["images"], spatial
+        )
+        return step_fn(state, batch, rng)
+
+    jitted = jax.jit(
+        step,
+        in_shardings=None,  # derived from args; constraint pins the grid
+        donate_argnums=(0,) if donate_state else (),
+    )
+
+    def run(state, batch, rng):
+        batch = {
+            k: jax.device_put(
+                jnp.asarray(v),
+                spatial if k == "images" else repl,
+            )
+            for k, v in batch.items()
+        }
+        return jitted(state, batch, rng)
+
+    run.spatial_batch_sharding = spatial_batch_sharding
+    return run

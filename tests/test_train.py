@@ -255,3 +255,98 @@ class TestPerLevelLossPath:
         )
         for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestSpatialTrain:
+    """Conv-grid-sharded training (context-parallel analog, SURVEY §5
+    "Long-context"): GSPMD halo exchanges + BN/loss psums must reproduce
+    the single-device computation."""
+
+    def test_spatial_gradients_match_single_device(self):
+        """Compare raw GRADIENTS, not post-Adam params: Adam's first-step
+        g/sqrt(g^2) normalisation amplifies reduction-order noise on
+        near-zero gradients into +-lr sign flips, which would make a
+        param-level comparison test the optimizer's noise floor instead
+        of the partitioner."""
+        from efficientdet_tpu.anchors import (
+            anchor_targets_batch_compact,
+            anchors_for_shape,
+        )
+        from efficientdet_tpu.losses import detection_loss
+
+        mesh = make_mesh()
+        model, cfg = tiny_model()
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3))
+        )
+        batch = synth_batch(np.random.RandomState(11), 2, 128, 4)
+        anchors = jnp.asarray(anchors_for_shape((128, 128), cfg.anchor))
+        cls_t, box_t, state_t = anchor_targets_batch_compact(
+            anchors,
+            jnp.asarray(batch["gt_boxes"]),
+            jnp.asarray(batch["gt_labels"]),
+            0.5,
+            0.4,
+        )
+        spatial = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, "data")
+        )
+
+        def loss_fn(params, images, shard):
+            if shard:
+                images = jax.lax.with_sharding_constraint(images, spatial)
+            cls_logits, box_preds = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                images,
+                train=False,
+            )
+            total, _ = detection_loss(
+                cls_logits, box_preds, cls_t, box_t, state_t
+            )
+            return total
+
+        images = jnp.asarray(batch["images"])
+        g1 = jax.jit(jax.grad(lambda p: loss_fn(p, images, False)))(
+            variables["params"]
+        )
+        g2 = jax.jit(jax.grad(lambda p: loss_fn(p, images, True)))(
+            variables["params"]
+        )
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            )
+
+    def test_spatial_train_step_runs_replicated(self):
+        from efficientdet_tpu.parallel import make_spatial_train_step
+
+        mesh = make_mesh()
+        model, cfg = tiny_model()
+        tc = TrainConfig(batch_size=2)
+        state = create_train_state(model, tc, jax.random.PRNGKey(0))
+        batch = synth_batch(np.random.RandomState(11), 2, 128, 4)
+
+        s1, m1 = jax.jit(make_train_step(model, tc))(
+            state, batch, jax.random.PRNGKey(1)
+        )
+        spatial = make_spatial_train_step(model, tc, mesh, donate_state=False)
+        state_r = jax.device_put(
+            state, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        )
+        s2, m2 = spatial(state_r, batch, jax.random.PRNGKey(1))
+
+        np.testing.assert_allclose(
+            float(m1["loss"]), float(m2["loss"]), rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=1e-3
+        )
+        # params stay replicated for the next step
+        assert jax.tree.leaves(s2.params)[0].sharding.is_fully_replicated
+        # BN statistics (plain means over the sharded grid) stay tight
+        for a, b in zip(
+            jax.tree.leaves(s1.batch_stats), jax.tree.leaves(s2.batch_stats)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            )
