@@ -105,6 +105,8 @@ def batch_iterator(
     group_by_aspect: bool = False,
     drop_last: bool = True,
     workers: int = 0,
+    shard_index: int = 0,
+    shard_count: int = 1,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yield fixed-shape training/eval batches.
 
@@ -121,7 +123,19 @@ def batch_iterator(
     per-image seeds (derived from the iterator RNG) instead of one shared
     sequential stream, so augmented pixel streams differ from ``workers=0``
     while remaining deterministic for a given seed.
+
+    ``shard_count > 1`` partitions each epoch's (shuffled) order across
+    processes for multi-HOST data parallelism: pass
+    ``shard_index=jax.process_index(), shard_count=jax.process_count()``
+    and every host iterates a disjoint slice of the same permutation (the
+    seed fixes the permutation, so hosts agree without communicating);
+    per-host batches then assemble into the global array via
+    ``jax.make_array_from_process_local_data`` (tools/multiprocess_dryrun).
     """
+    if not (0 <= shard_index < shard_count):
+        raise ValueError(
+            f"shard_index {shard_index} not in [0, {shard_count})"
+        )
     rng = np.random.RandomState(seed)
     n = len(dataset)
     pool = None
@@ -146,6 +160,10 @@ def batch_iterator(
                 idx = np.concatenate([groups.reshape(-1), idx[nb * batch_size:]])
             else:
                 rng.shuffle(idx)
+        if shard_count > 1:
+            # strided, not contiguous: every shard sees the whole dataset's
+            # distribution within an epoch even when n % shard_count != 0
+            idx = idx[shard_index::shard_count]
         return idx
 
     while True:

@@ -56,8 +56,22 @@ def data_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Device_put a host batch with the leading axis split over ``data``."""
+    """Device_put a host batch with the leading axis split over ``data``.
+
+    Under multi-process JAX (multi-host pods), each process passes its
+    LOCAL batch (a disjoint dataset shard — ``batch_iterator``'s
+    shard_index/shard_count) and the per-process arrays assemble into one
+    global array spanning the mesh: global batch = sum of local batches.
+    Single-process: a plain sharded device_put.
+    """
     sh = data_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), sh), batch)
 
 

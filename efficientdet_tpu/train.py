@@ -223,6 +223,10 @@ def main(argv=None):
             train_ds, args.batch_size, target_size=size, max_gt=args.max_gt,
             shuffle=True, repeat=True, augment=augment, seed=args.seed,
             workers=args.workers,
+            # multi-host: each process iterates a disjoint slice of the
+            # same seed-agreed permutation (no cross-host coordination)
+            shard_index=jax.process_index(),
+            shard_count=jax.process_count(),
         ),
         size=2,
     )

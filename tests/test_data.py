@@ -251,3 +251,50 @@ def test_prefetch_preserves_stream(csv_dataset):
     for a, b in zip(direct, fetched):
         np.testing.assert_array_equal(a["images"], b["images"])
         np.testing.assert_array_equal(a["gt_boxes"], b["gt_boxes"])
+
+
+class TestShardedIterator:
+    """Multi-host data sharding: disjoint per-process slices of one
+    agreed permutation (batch_iterator shard_index/shard_count)."""
+
+    def test_shards_disjoint_and_covering(self, csv_dataset):
+        from efficientdet_tpu.data.common import batch_iterator
+
+        seen = []
+        for si in range(2):
+            for b in batch_iterator(
+                csv_dataset, 1, target_size=64, shuffle=True, seed=7,
+                shard_index=si, shard_count=2, drop_last=False,
+            ):
+                seen.extend(b["indices"].tolist())
+        assert sorted(seen) == list(range(len(csv_dataset)))
+
+    def test_same_seed_same_partition(self, csv_dataset):
+        from efficientdet_tpu.data.common import batch_iterator
+
+        def collect(si):
+            out = []
+            for b in batch_iterator(
+                csv_dataset, 1, target_size=64, shuffle=True, seed=3,
+                shard_index=si, shard_count=2, drop_last=False,
+            ):
+                out.extend(b["indices"].tolist())
+            return out
+
+        assert collect(0) == collect(0)
+        assert set(collect(0)).isdisjoint(collect(1))
+
+    def test_bad_shard_index_raises(self, csv_dataset):
+        import pytest as _pytest
+
+        from efficientdet_tpu.data.common import batch_iterator
+
+        with _pytest.raises(ValueError):
+            next(
+                iter(
+                    batch_iterator(
+                        csv_dataset, 1, target_size=64,
+                        shard_index=2, shard_count=2,
+                    )
+                )
+            )
