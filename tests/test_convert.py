@@ -118,6 +118,13 @@ import functools
 
 @functools.lru_cache(maxsize=2)
 def _detector_variables(phi=0, num_classes=8, slim=True):
+    """Config + a variables tree with CONCRETE numpy leaves.
+
+    ``jax.eval_shape`` over ``model.init`` gives the exact pytree structure
+    without eagerly executing the whole model on CPU (60s -> <1s); the
+    convert tests only need shapes/structure — the round-trip test
+    overwrites every leaf with random values anyway.
+    """
     import dataclasses
 
     from efficientdet_tpu.configs import ModelConfig
@@ -129,8 +136,11 @@ def _detector_variables(phi=0, num_classes=8, slim=True):
             cfg, bifpn_width=16, bifpn_depth=2, head_depth=2
         )
     model = EfficientDet(config=cfg)
-    variables = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3))
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3))
+    )
+    variables = jax.tree.map(
+        lambda s: np.zeros(s.shape, s.dtype), shapes
     )
     return cfg, variables
 

@@ -24,9 +24,14 @@ from efficientdet_tpu.utils.export import (
 
 @pytest.fixture(scope="module")
 def tiny():
+    import dataclasses
+
     cfg = ModelConfig.for_phi(0, num_classes=6, image_size=128)
+    # slim BiFPN/heads: export tracing cost scales with module count and
+    # the contract under test (serialize/deserialize/baked params) doesn't
+    cfg = dataclasses.replace(cfg, bifpn_width=16, bifpn_depth=2, head_depth=2)
     model = EfficientDet(config=cfg)
-    variables = model.init(
+    variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3))
     )
     return model, variables
