@@ -136,6 +136,10 @@ class ModelConfig:
     # "fpn" (BiFPN + heads only — backbone taps saved). Selective scopes
     # skip recompute where activations are cheap relative to FLOPs.
     remat_scope: str = "full"
+    # Backbone stages (1-based) above this are NOT rematted even when remat
+    # covers the backbone: stride-16/32 activations are cheap to store and
+    # saving them skips their backward recompute (D4 b16 trace: ~18 ms).
+    remat_max_stage: int = 7
     # Numerics.
     bn_momentum: float = 0.99
     bn_epsilon: float = 1e-3

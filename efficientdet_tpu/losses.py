@@ -13,6 +13,8 @@ the reference's per-image Keras loss reduction.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -121,6 +123,65 @@ def _focal_elementwise(
     return alpha_factor * focal_weight * bce
 
 
+def _focal_grad_elementwise(x, onehot, alpha, gamma):
+    """d(focal)/d(logit), elementwise, f32.
+
+    With p_t = sigmoid(s*x), s = +1 for the target class else -1, and
+    L = -log(p_t) = softplus(-s*x):
+
+        d focal / dx = -s * alpha_t * (1-p_t)^gamma * [(1-p_t) + gamma*p_t*L]
+
+    (gamma=0 recovers the BCE gradient alpha_t * (p - t).) Written out so
+    the backward pass is ONE fused elementwise expression over the logits —
+    autodiff of the one-hot formulation materialises (B,H,W,A,C)-sized f32
+    focal and s32 one-hot temps in HBM (the two largest allocations in the
+    D4/b32 OOM dump, ~5 GB). The one-hot mask is consumed EXACTLY ONCE
+    (a single select between the positive/negative branches): referencing
+    it from several subexpressions made XLA materialise the broadcast
+    compare as an s32 (B,H,W,A,C) temp instead of fusing it.
+    """
+    p = jax.nn.sigmoid(x)
+    sp_neg = jax.nn.softplus(-x)  # -log(p)
+    sp_pos = jax.nn.softplus(x)   # -log(1-p)
+    one_m = 1.0 - p
+    grad_pos = -alpha * one_m ** gamma * (one_m + gamma * p * sp_neg)
+    grad_neg = (1.0 - alpha) * p ** gamma * (p + gamma * one_m * sp_pos)
+    return jnp.where(onehot, grad_pos, grad_neg)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _focal_level_sum(cl5, labels, include, alpha, gamma):
+    """sum_{h,w,a,c} focal(cl5, onehot(labels)) * include  -> (B,).
+
+    cl5: (B, H, W, A, C) logits (any float dtype; math in f32).
+    labels: (B, H, W, A) int32 matched class (-1 = none).
+    include: (B, H, W, A) f32 {0,1} (anchor_state != -1).
+    """
+    focal = _focal_elementwise(cl5, labels, alpha, gamma)
+    return jnp.sum(jnp.sum(focal, axis=4) * include, axis=(1, 2, 3))
+
+
+def _focal_level_sum_fwd(cl5, labels, include, alpha, gamma):
+    return (
+        _focal_level_sum(cl5, labels, include, alpha, gamma),
+        (cl5, labels, include),
+    )
+
+
+def _focal_level_sum_bwd(alpha, gamma, res, g):
+    cl5, labels, include = res
+    x = cl5.astype(jnp.float32)
+    onehot = labels[..., None] == jax.lax.broadcasted_iota(
+        jnp.int32, (1,) * labels.ndim + (cl5.shape[-1],), labels.ndim
+    )
+    d = _focal_grad_elementwise(x, onehot, alpha, gamma)
+    d = d * (include * g[:, None, None, None])[..., None]
+    return d.astype(cl5.dtype), None, None
+
+
+_focal_level_sum.defvjp(_focal_level_sum_fwd, _focal_level_sum_bwd)
+
+
 def _huber_elementwise(
     box_preds: jax.Array, box_targets: jax.Array, sigma: float
 ) -> jax.Array:
@@ -181,12 +242,12 @@ def detection_loss_from_levels(
 
         # (B,H,W,A*C) -> (B,H,W,A,C) splits only the minor dim: a bitcast
         # view, no relayout. The focal chain + one-hot iota-compare + the
-        # include mask fuse into one reduction over the conv-layout tensor.
-        focal = _focal_elementwise(
-            cl.reshape(b, h, w, a, c), labels, alpha, gamma
-        )
-        cls_sum = jnp.sum(
-            jnp.sum(focal, axis=4) * include, axis=(1, 2, 3)
+        # include mask fuse into one reduction over the conv-layout tensor;
+        # the custom VJP keeps the BACKWARD equally fused (hand-written
+        # elementwise d/dlogit instead of autodiffed one-hot temps).
+        cls_sum = _focal_level_sum(
+            cl.reshape(b, h, w, a, c), labels.astype(jnp.int32), include,
+            alpha, gamma,
         )  # (B,)
 
         bt = box_targets[:, off : off + n].reshape(b, h, w, a, 4)
@@ -196,16 +257,14 @@ def detection_loss_from_levels(
         )
         return cls_sum, box_sum, n
 
-    # jax.checkpoint per level: autodiff would otherwise save level-sized
-    # focal intermediates for the backward pass; recompute them from the
-    # logits instead (same policy as detection_loss).
+    # The focal term's backward is a hand-written fused elementwise pass
+    # (_focal_level_sum custom VJP) — no checkpoint needed; the remaining
+    # huber autodiff residuals are (B,H,W,A,4)-sized, negligible.
     off = 0
     cls_total = jnp.zeros((bsz,), jnp.float32)
     box_total = jnp.zeros((bsz,), jnp.float32)
     for cl, bl in zip(cls_levels, box_levels):
-        csum, bsum = jax.checkpoint(
-            lambda cl, bl, off=off: level_sums(cl, bl, off)[:2]
-        )(cl, bl)
+        csum, bsum, _ = level_sums(cl, bl, off)
         cls_total = cls_total + csum
         box_total = box_total + bsum
         off += cl.shape[1] * cl.shape[2] * num_anchors

@@ -67,6 +67,7 @@ class EfficientDet(nn.Module):
             dtype=self.dtype,
             fuse_bn=self.fuse_bn,
             remat=remat_backbone,
+            remat_max_stage=cfg.remat_max_stage,
             name="backbone",
         )(images, train=train, use_running_average=ura)
         feats = BiFPN(
@@ -127,6 +128,7 @@ def build_efficientdet(
     image_size: int | None = None,
     remat: bool = False,
     remat_scope: str = "full",
+    remat_max_stage: int = 7,
 ) -> Tuple[EfficientDet, ModelConfig]:
     """The reference's ``efficientdet(phi, ...)`` builder."""
     if remat_scope not in ("full", "backbone", "fpn"):
@@ -142,7 +144,8 @@ def build_efficientdet(
         import dataclasses
 
         config = dataclasses.replace(
-            config, remat=True, remat_scope=remat_scope
+            config, remat=True, remat_scope=remat_scope,
+            remat_max_stage=remat_max_stage,
         )
     return EfficientDet(config=config, dtype=dtype), config
 

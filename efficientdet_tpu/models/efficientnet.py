@@ -172,6 +172,11 @@ class EfficientNet(nn.Module):
     # forward instead of keeping its expanded (6x-channel) intermediates
     # live — fits D4+ training in one chip's HBM (ModelConfig.remat).
     remat: bool = False
+    # Only remat stages <= this (1-based). High-res stages (1-3) hold the
+    # multi-hundred-MB intermediates worth recomputing; the stride-16/32
+    # stages (4-7) are cheap to store, and saving them skips their
+    # recompute pass in the backward (D4 trace: ~18 ms/step at b16).
+    remat_max_stage: int = 7
 
     @nn.compact
     def __call__(
@@ -205,14 +210,15 @@ class EfficientNet(nn.Module):
         )
         drop_rate = 1.0 - self.survival_prob
         # (self, x, train, use_running_average) -> statics are argnums 2, 3.
-        Block = (
-            nn.remat(MBConvBlock, static_argnums=(2, 3))
-            if self.remat
-            else MBConvBlock
-        )
+        RematBlock = nn.remat(MBConvBlock, static_argnums=(2, 3))
         taps = {}
         block_idx = 0
         for stage_idx, block_cfg in enumerate(EFFICIENTNET_B0_BLOCKS):
+            Block = (
+                RematBlock
+                if self.remat and stage_idx + 1 <= self.remat_max_stage
+                else MBConvBlock
+            )
             in_f = round_filters(block_cfg.input_filters, width)
             out_f = round_filters(block_cfg.output_filters, width)
             repeats = round_repeats(block_cfg.num_repeat, depth)

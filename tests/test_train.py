@@ -155,25 +155,33 @@ class TestTrainStep:
         forward outputs and train-step results."""
         model, cfg = tiny_model()
         model_r = EfficientDet(config=dataclasses.replace(cfg, remat=True))
+        # stage-selective remat (stages > 3 saved) must also be math-neutral
+        model_r3 = EfficientDet(
+            config=dataclasses.replace(cfg, remat=True, remat_max_stage=3)
+        )
         tc = TrainConfig(batch_size=2)
         batch = synth_batch(np.random.RandomState(4), 2, 128, 4)
         rng = jax.random.PRNGKey(0)
 
         state = create_train_state(model, tc, jax.random.PRNGKey(0))
-        state_r = create_train_state(model_r, tc, jax.random.PRNGKey(0))
-        assert jax.tree.structure(state.params) == jax.tree.structure(
-            state_r.params
-        )
-
         s1, m1 = jax.jit(make_train_step(model, tc))(state, batch, rng)
-        s2, m2 = jax.jit(make_train_step(model_r, tc))(state_r, batch, rng)
-        np.testing.assert_allclose(
-            float(m1["loss"]), float(m2["loss"]), rtol=1e-5
-        )
-        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
-            np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), atol=1e-5
+        for variant in (model_r, model_r3):
+            state_r = create_train_state(variant, tc, jax.random.PRNGKey(0))
+            assert jax.tree.structure(state.params) == jax.tree.structure(
+                state_r.params
             )
+            s2, m2 = jax.jit(make_train_step(variant, tc))(
+                state_r, batch, rng
+            )
+            np.testing.assert_allclose(
+                float(m1["loss"]), float(m2["loss"]), rtol=1e-5
+            )
+            for a, b in zip(
+                jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=1e-5
+                )
 
 
 @pytest.fixture(scope="module")

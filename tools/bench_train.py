@@ -30,6 +30,8 @@ def main():
                    help="rematerialise blocks (fits D4+ on one chip)")
     p.add_argument("--remat-scope", default="full",
                    choices=["full", "backbone", "fpn"])
+    p.add_argument("--remat-max-stage", type=int, default=7,
+                   help="backbone stages above this are saved, not rematted")
     p.add_argument("--grad-accum-steps", type=int, default=1)
     p.add_argument("--trace", default=None,
                    help="directory: capture a jax.profiler trace of the "
@@ -48,7 +50,7 @@ def main():
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     model, cfg = ed.build_efficientdet(
         args.phi, num_classes=90, dtype=dtype, remat=args.remat,
-        remat_scope=args.remat_scope,
+        remat_scope=args.remat_scope, remat_max_stage=args.remat_max_stage,
     )
     size = cfg.image_size
     tc = TrainConfig(batch_size=args.batch, max_gt_boxes=args.max_gt,
