@@ -23,17 +23,11 @@ from efficientdet_tpu.utils.export import (
 
 
 @pytest.fixture(scope="module")
-def tiny():
-    import dataclasses
-
-    cfg = ModelConfig.for_phi(0, num_classes=6, image_size=128)
-    # slim BiFPN/heads: export tracing cost scales with module count and
-    # the contract under test (serialize/deserialize/baked params) doesn't
-    cfg = dataclasses.replace(cfg, bifpn_width=16, bifpn_depth=2, head_depth=2)
-    model = EfficientDet(config=cfg)
-    variables = jax.jit(model.init)(
-        jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3))
-    )
+def tiny(slim_d0):
+    # the shared session detector (conftest): slim BiFPN/heads — export
+    # tracing cost scales with module count and the contract under test
+    # (serialize/deserialize/baked params) doesn't
+    model, _, variables = slim_d0
     return model, variables
 
 
@@ -63,6 +57,7 @@ class TestExportRoundTrip:
                 np.asarray(g), np.asarray(w), err_msg=name
             )
 
+    @pytest.mark.slow  # compile-heavy: full-tier only
     def test_load_needs_no_model_code(self, tiny, tmp_path):
         """The artifact rehydrates via jax.export.deserialize alone."""
         model, variables = tiny
@@ -82,6 +77,7 @@ class TestExportRoundTrip:
         with pytest.raises(ValueError):
             jax.jit(exported.call)(_batch(b=3))
 
+    @pytest.mark.slow  # compile-heavy: full-tier only
     def test_params_are_baked_in(self, tiny):
         """Different weights -> different serialized programs (constants,
         not arguments): the artifact is self-contained."""
@@ -91,6 +87,7 @@ class TestExportRoundTrip:
         b = export_predictor(model, v2, batch_size=1).serialize()
         assert a != b
 
+    @pytest.mark.slow  # compile-heavy: full-tier only
     def test_cli_writes_artifact(self, tmp_path):
         from efficientdet_tpu.utils.export import main
 

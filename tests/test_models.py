@@ -38,7 +38,11 @@ class TestParamCounts:
         want = PAPER_PARAMS[phi]
         assert abs(n - want) / want < 0.03, f"D{phi}: {n:,} vs paper {want:,.0f}"
 
-    @pytest.mark.parametrize("phi", [4, 5, 6])
+    @pytest.mark.parametrize(
+        "phi",
+        [4, pytest.param(5, marks=pytest.mark.slow),
+         pytest.param(6, marks=pytest.mark.slow)],
+    )
     def test_matches_paper_large(self, phi):
         _, _, shapes = init_shapes(phi)
         n = count_params(shapes["params"])
@@ -51,6 +55,7 @@ class TestParamCounts:
         _, _, shapes = init_shapes(0)
         assert count_params(shapes["params"]) == 3_880_067
 
+    @pytest.mark.slow  # compile-heavy: full-tier only
     def test_d7_same_backbone_as_d6(self):
         _, _, s6 = init_shapes(6)
         _, _, s7 = init_shapes(7)
@@ -76,12 +81,14 @@ class TestForward:
         probs = jax.nn.sigmoid(cls)
         assert 0.001 < float(jnp.mean(probs)) < 0.05
 
-    def test_deterministic(self):
-        model, _, _ = init_shapes(0, image_size=128)
-        vars_ = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+    def test_deterministic(self, slim_d0):
+        # shared session detector (full B0 backbone); jitted apply — the
+        # form every production entry point uses
+        model, _, vars_ = slim_d0
         x = jax.random.normal(jax.random.PRNGKey(1), (1, 128, 128, 3))
-        c1, b1 = model.apply(vars_, x)
-        c2, b2 = model.apply(vars_, x)
+        ap = jax.jit(model.apply)
+        c1, b1 = ap(vars_, x)
+        c2, b2 = ap(vars_, x)
         assert bool(jnp.all(c1 == c2)) and bool(jnp.all(b1 == b2))
 
     @pytest.mark.slow  # compile-heavy: full-tier only
