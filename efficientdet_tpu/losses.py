@@ -39,15 +39,22 @@ def focal_loss(
       anchor_state: (B, A) in {-1 ignore, 0 negative, 1 positive}.
     Returns scalar loss.
     """
+    num_pos = jnp.sum((anchor_state == 1.0).astype(jnp.float32), axis=1)  # (B,)
+    normalizer = jnp.maximum(num_pos, 1.0)
+    include = (anchor_state != -1.0).astype(jnp.float32)  # ignore state -1
+
+    if cls_targets.ndim == cls_logits.ndim - 1:
+        # Compact int labels: shared custom-VJP path (_focal_sum) — one
+        # fused forward reduction and one hand-written fused backward, the
+        # SAME formula the per-level loss uses.
+        per_image = _focal_sum(
+            cls_logits, cls_targets.astype(jnp.int32), include, alpha, gamma
+        )
+        return jnp.mean(per_image / normalizer)
+
     cls_logits = cls_logits.astype(jnp.float32)
     p = jax.nn.sigmoid(cls_logits)
-    if cls_targets.ndim == cls_logits.ndim - 1:
-        labels = cls_targets.astype(jnp.int32)[..., None]  # (B, A, 1)
-        c = cls_logits.shape[-1]
-        iota = jax.lax.broadcasted_iota(jnp.int32, (1,) * (labels.ndim - 1) + (c,), labels.ndim - 1)
-        t = (labels == iota).astype(jnp.float32)  # fused, never materialised
-    else:
-        t = cls_targets.astype(jnp.float32)
+    t = cls_targets.astype(jnp.float32)
 
     alpha_factor = jnp.where(t == 1.0, alpha, 1.0 - alpha)
     focal_weight = jnp.where(t == 1.0, 1.0 - p, p) ** gamma
@@ -56,12 +63,7 @@ def focal_loss(
         jnp.exp(-jnp.abs(cls_logits))
     )
     loss = alpha_factor * focal_weight * bce  # (B, A, C)
-
-    include = (anchor_state != -1.0).astype(jnp.float32)  # ignore state -1
     loss = loss * include[..., None]
-
-    num_pos = jnp.sum((anchor_state == 1.0).astype(jnp.float32), axis=1)  # (B,)
-    normalizer = jnp.maximum(num_pos, 1.0)
     per_image = jnp.sum(loss, axis=(1, 2)) / normalizer
     return jnp.mean(per_image)
 
@@ -150,36 +152,42 @@ def _focal_grad_elementwise(x, onehot, alpha, gamma):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _focal_level_sum(cl5, labels, include, alpha, gamma):
-    """sum_{h,w,a,c} focal(cl5, onehot(labels)) * include  -> (B,).
+def _focal_sum(cl, labels, include, alpha, gamma):
+    """sum_{...,c} focal(cl, onehot(labels)) * include  -> (B,).
 
-    cl5: (B, H, W, A, C) logits (any float dtype; math in f32).
-    labels: (B, H, W, A) int32 matched class (-1 = none).
-    include: (B, H, W, A) f32 {0,1} (anchor_state != -1).
+    Rank-generic: used on (B, A, C) concat logits and (B, H, W, A, C)
+    per-level conv-layout logits — BOTH loss paths share this one
+    forward/backward formula, so their gradients are bit-comparable
+    (tests compare whole Adam steps across the two paths).
+
+    cl: (B, ..., C) logits (any float dtype; math in f32).
+    labels: (B, ...) int32 matched class (-1 = none).
+    include: (B, ...) f32 {0,1} (anchor_state != -1).
     """
-    focal = _focal_elementwise(cl5, labels, alpha, gamma)
-    return jnp.sum(jnp.sum(focal, axis=4) * include, axis=(1, 2, 3))
-
-
-def _focal_level_sum_fwd(cl5, labels, include, alpha, gamma):
-    return (
-        _focal_level_sum(cl5, labels, include, alpha, gamma),
-        (cl5, labels, include),
+    focal = _focal_elementwise(cl, labels, alpha, gamma)
+    return jnp.sum(
+        jnp.sum(focal, axis=-1) * include,
+        axis=tuple(range(1, include.ndim)),
     )
 
 
-def _focal_level_sum_bwd(alpha, gamma, res, g):
-    cl5, labels, include = res
-    x = cl5.astype(jnp.float32)
+def _focal_sum_fwd(cl, labels, include, alpha, gamma):
+    return _focal_sum(cl, labels, include, alpha, gamma), (cl, labels, include)
+
+
+def _focal_sum_bwd(alpha, gamma, res, g):
+    cl, labels, include = res
+    x = cl.astype(jnp.float32)
     onehot = labels[..., None] == jax.lax.broadcasted_iota(
-        jnp.int32, (1,) * labels.ndim + (cl5.shape[-1],), labels.ndim
+        jnp.int32, (1,) * labels.ndim + (cl.shape[-1],), labels.ndim
     )
     d = _focal_grad_elementwise(x, onehot, alpha, gamma)
-    d = d * (include * g[:, None, None, None])[..., None]
-    return d.astype(cl5.dtype), None, None
+    gx = g.reshape(g.shape + (1,) * (include.ndim - 1))
+    d = d * (include * gx)[..., None]
+    return d.astype(cl.dtype), None, None
 
 
-_focal_level_sum.defvjp(_focal_level_sum_fwd, _focal_level_sum_bwd)
+_focal_sum.defvjp(_focal_sum_fwd, _focal_sum_bwd)
 
 
 def _huber_elementwise(
@@ -245,7 +253,7 @@ def detection_loss_from_levels(
         # include mask fuse into one reduction over the conv-layout tensor;
         # the custom VJP keeps the BACKWARD equally fused (hand-written
         # elementwise d/dlogit instead of autodiffed one-hot temps).
-        cls_sum = _focal_level_sum(
+        cls_sum = _focal_sum(
             cl.reshape(b, h, w, a, c), labels.astype(jnp.int32), include,
             alpha, gamma,
         )  # (B,)
