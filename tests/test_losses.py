@@ -99,6 +99,44 @@ def test_detection_loss_composes():
     assert np.isfinite(float(total))
 
 
+class TestFocalCustomVjp:
+    """_focal_sum's hand-written backward vs autodiff of its own forward,
+    including extreme logits (softplus/pow saturation regions)."""
+
+    def test_grad_matches_autodiff_incl_extremes(self):
+        from efficientdet_tpu.losses import _focal_elementwise, _focal_sum
+
+        rng = np.random.RandomState(0)
+        b, a, c = 2, 64, 7
+        x = rng.randn(b, a, c).astype(np.float32) * 4.0
+        # saturate corners: +-30 logits on both matched and unmatched classes
+        x[0, 0, :] = 30.0
+        x[0, 1, :] = -30.0
+        x[1, 0, 0] = 30.0
+        x[1, 0, 1] = -30.0
+        labels = rng.randint(-1, c, (b, a)).astype(np.int32)
+        labels[0, 0] = 0
+        labels[0, 1] = 0
+        include = (rng.rand(b, a) > 0.2).astype(np.float32)
+
+        def via_custom(x):
+            return jnp.sum(
+                _focal_sum(x, jnp.asarray(labels), jnp.asarray(include),
+                           0.25, 2.0)
+            )
+
+        def via_autodiff(x):
+            f = _focal_elementwise(x, jnp.asarray(labels), 0.25, 2.0)
+            return jnp.sum(jnp.sum(f, axis=-1) * include)
+
+        g1 = jax.grad(via_custom)(jnp.asarray(x))
+        g2 = jax.grad(via_autodiff)(jnp.asarray(x))
+        assert np.all(np.isfinite(np.asarray(g1)))
+        np.testing.assert_allclose(
+            np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-6
+        )
+
+
 class TestPerLevelLoss:
     """detection_loss_from_levels == detection_loss on the concat tensors."""
 
