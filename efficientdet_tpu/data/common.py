@@ -161,9 +161,22 @@ def batch_iterator(
             else:
                 rng.shuffle(idx)
         if shard_count > 1:
-            # strided, not contiguous: every shard sees the whole dataset's
-            # distribution within an epoch even when n % shard_count != 0
-            idx = idx[shard_index::shard_count]
+            if group_by_aspect:
+                # stride over whole BATCHES, not elements: an element
+                # stride would interleave different aspect groups and
+                # silently undo the grouping just computed
+                nb = len(idx) // batch_size
+                groups = idx[: nb * batch_size].reshape(nb, batch_size)
+                tail = idx[nb * batch_size:]
+                idx = np.concatenate(
+                    [groups[shard_index::shard_count].reshape(-1),
+                     tail[shard_index::shard_count]]
+                )
+            else:
+                # strided, not contiguous: every shard sees the whole
+                # dataset's distribution within an epoch even when
+                # n % shard_count != 0
+                idx = idx[shard_index::shard_count]
         return idx
 
     while True:

@@ -97,12 +97,43 @@ def main(argv=None):
     dataset = build_dataset(args)
     num_classes = dataset.num_classes()
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+
+    # The snapshot is self-describing: train.py persists its ModelConfig
+    # essentials next to the checkpoints. Saved values take precedence over
+    # CLI defaults (a D6 trained with --weighted-bifpn must restore into a
+    # weighted template regardless of the per-phi default), with loud
+    # warnings when the CLI contradicts them.
+    import os as _os
+
+    saved_cfg = None
+    cfg_path = _os.path.join(args.snapshot, "train_config.json")
+    if _os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            saved_cfg = json.load(f)
+    phi, weighted, image_size = args.phi, args.weighted_bifpn, args.image_size
+    if saved_cfg and "model" in saved_cfg:
+        m = saved_cfg["model"]
+        if m.get("phi") is not None and m["phi"] != phi:
+            print(
+                f"WARNING: snapshot was trained with phi={m['phi']}; "
+                f"using it over --phi {phi}", flush=True,
+            )
+            phi = m["phi"]
+        if weighted is None:
+            weighted = m.get("weighted_bifpn")
+        if image_size is None:
+            image_size = m.get("image_size")
+        if m.get("num_classes") not in (None, num_classes):
+            print(
+                f"WARNING: snapshot num_classes={m['num_classes']} != "
+                f"dataset's {num_classes}", flush=True,
+            )
     model, cfg = ed.build_efficientdet(
-        args.phi,
+        phi,
         num_classes=num_classes,
-        weighted_bifpn=args.weighted_bifpn,
+        weighted_bifpn=weighted,
         dtype=dtype,
-        image_size=args.image_size,
+        image_size=image_size,
     )
     size = cfg.image_size
 
@@ -112,14 +143,9 @@ def main(argv=None):
     # a default-TrainConfig template cannot receive either (orbax rejects
     # mismatched pytrees). train.py persists its TrainConfig next to the
     # snapshots for exactly this reason.
-    import os as _os
-
     tc = TrainConfig()
-    cfg_path = _os.path.join(args.snapshot, "train_config.json")
-    if _os.path.exists(cfg_path):
-        with open(cfg_path) as f:
-            saved = json.load(f)
-        tc = TrainConfig(**saved["train"])
+    if saved_cfg is not None:
+        tc = TrainConfig(**saved_cfg["train"])
     state = create_train_state(model, tc, jax.random.PRNGKey(0))
     state = CheckpointManager(args.snapshot).restore(state)
     params = (

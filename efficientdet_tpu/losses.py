@@ -52,17 +52,9 @@ def focal_loss(
         )
         return jnp.mean(per_image / normalizer)
 
-    cls_logits = cls_logits.astype(jnp.float32)
-    p = jax.nn.sigmoid(cls_logits)
-    t = cls_targets.astype(jnp.float32)
-
-    alpha_factor = jnp.where(t == 1.0, alpha, 1.0 - alpha)
-    focal_weight = jnp.where(t == 1.0, 1.0 - p, p) ** gamma
-    # Numerically-stable BCE from logits.
-    bce = jnp.maximum(cls_logits, 0.0) - cls_logits * t + jnp.log1p(
-        jnp.exp(-jnp.abs(cls_logits))
-    )
-    loss = alpha_factor * focal_weight * bce  # (B, A, C)
+    # Dense float one-hot targets: same elementwise formula via the shared
+    # helper (one copy of the focal math for every caller).
+    loss = _focal_elementwise(cls_logits, cls_targets, alpha, gamma)
     loss = loss * include[..., None]
     per_image = jnp.sum(loss, axis=(1, 2)) / normalizer
     return jnp.mean(per_image)

@@ -10,10 +10,11 @@ host's only remaining per-image work is JPEG decode + letterbox.
 
 Semantics relative to the host path (``data/augment.py``):
 
-* transforms act on the LETTERBOXED canvas (B, S, S, 3) about the canvas
-  centre, not on the raw image about the image centre. The families are
-  identical (affines compose with the letterbox scale); only the sampling
-  frame differs, which is immaterial for random augmentation.
+* transforms act on the LETTERBOXED canvas (B, S, S, 3), conjugated about
+  each image's VISIBLE extent centre (a flip maps the image onto itself,
+  never into the letterbox padding) with translations scaled by the extent
+  — the same geometry as the host path's transform-about-the-image-centre
+  on the raw image, composed with the letterbox scale.
 * the warp matches ``cv2.warpAffine(..., INTER_LINEAR, BORDER_CONSTANT)``:
   the matrix maps source→destination in pixel-centre coordinates, the
   sampler bilinearly interpolates at the inverse-mapped position and reads
@@ -62,12 +63,18 @@ def sample_transform_matrices(
     batch_size: int,
     size: int,
     config: TransformConfig = TransformConfig(),
+    extents: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """(B, 3, 3) random affines about the canvas centre.
+    """(B, 3, 3) random affines about the visible-image centre.
 
     Same composition order as the host ``random_transform_matrix``:
     rotation → translation → shear → scaling → flip, conjugated by the
-    centring translation.
+    centring translation. ``extents`` (B, 2) = (scaled_h, scaled_w) gives
+    the visible-image extent inside each letterboxed canvas; the transform
+    is conjugated about ITS centre (and translations scale with it), so a
+    flip maps the image onto itself instead of into the letterbox padding —
+    exactly the host path's flip-about-the-image-centre semantics. None →
+    the full canvas (square inputs).
     """
     c = config
     keys = jax.random.split(rng, 8)
@@ -75,9 +82,16 @@ def sample_transform_matrices(
         k, (batch_size,), jnp.float32, lo, hi
     )
 
+    if extents is None:
+        ext_w = jnp.full((batch_size,), float(size), jnp.float32)
+        ext_h = ext_w
+    else:
+        ext_h = extents[:, 0].astype(jnp.float32)
+        ext_w = extents[:, 1].astype(jnp.float32)
+
     ang = u(keys[0], c.min_rotation, c.max_rotation)
-    tx = u(keys[1], c.min_translation[0], c.max_translation[0]) * size
-    ty = u(keys[2], c.min_translation[1], c.max_translation[1]) * size
+    tx = u(keys[1], c.min_translation[0], c.max_translation[0]) * ext_w
+    ty = u(keys[2], c.min_translation[1], c.max_translation[1]) * ext_h
     shear = u(keys[3], c.min_shear, c.max_shear)
     sx = u(keys[4], c.min_scaling[0], c.max_scaling[0])
     sy = u(keys[5], c.min_scaling[1], c.max_scaling[1])
@@ -104,13 +118,9 @@ def sample_transform_matrices(
     flp = mat([[fx, z, z], [z, fy, z], [z, z, o]])
 
     m = flp @ scl @ shr @ trans @ rot
-    half = 0.5 * size
-    center = jnp.asarray(
-        [[1, 0, half], [0, 1, half], [0, 0, 1]], jnp.float32
-    )
-    uncenter = jnp.asarray(
-        [[1, 0, -half], [0, 1, -half], [0, 0, 1]], jnp.float32
-    )
+    hx, hy = 0.5 * ext_w, 0.5 * ext_h
+    center = mat([[o, z, hx], [z, o, hy], [z, z, o]])
+    uncenter = mat([[o, z, -hx], [z, o, -hy], [z, z, o]])
     return center @ m @ uncenter
 
 
@@ -213,10 +223,16 @@ def random_color_batch(
     rng: jax.Array,
     images: jax.Array,
     config: ColorConfig = ColorConfig(),
+    mask: Optional[jax.Array] = None,
 ) -> jax.Array:
     """contrast → brightness → hue → saturation, per image, in float.
 
-    Input/output: (B, S, S, 3) float32 in [0, 255].
+    Input/output: (B, S, S, 3) float32 in [0, 255]. ``mask`` (B, S, S, 1)
+    in {0,1} marks the visible-image region of a letterboxed canvas:
+    colour applies only there (the letterbox padding stays exactly 0,
+    matching eval-time preprocessing) and the contrast mean is computed
+    over visible pixels only (the host path colours BEFORE letterboxing,
+    so its mean never sees padding either).
     """
     c = config
     b = images.shape[0]
@@ -227,16 +243,23 @@ def random_color_batch(
     hue = u(keys[2], *c.hue_range)
     saturation = u(keys[3], *c.saturation_range)
 
-    x = images.astype(jnp.float32)
-    mean = x.mean(axis=(1, 2), keepdims=True)
-    x = jnp.clip((x - mean) * contrast[..., None] + mean, 0, 255)
+    x0 = images.astype(jnp.float32)
+    if mask is None:
+        mean = x0.mean(axis=(1, 2), keepdims=True)
+    else:
+        n = jnp.maximum(mask.sum(axis=(1, 2), keepdims=True), 1.0)
+        mean = (x0 * mask).sum(axis=(1, 2), keepdims=True) / n
+    x = jnp.clip((x0 - mean) * contrast[..., None] + mean, 0, 255)
     x = jnp.clip(x + brightness[..., None] * 255.0, 0, 255)
 
     hsv = _rgb_to_hsv(x / 255.0)
     h = (hsv[..., 0] + hue) % 1.0
     s = jnp.clip(hsv[..., 1] * saturation, 0.0, 1.0)
     x = _hsv_to_rgb(jnp.stack([h, s, hsv[..., 2]], axis=-1)) * 255.0
-    return jnp.clip(x, 0, 255)
+    x = jnp.clip(x, 0, 255)
+    if mask is not None:
+        x = x * mask + x0 * (1.0 - mask)
+    return x
 
 
 # ---------------------------------------------------------------------------
@@ -274,17 +297,39 @@ def augment_batch_device(
     b, size = images.shape[0], images.shape[1]
     k_geo, k_col = jax.random.split(rng)
     x = images.astype(jnp.float32)
-    if geometric:
-        mats = sample_transform_matrices(k_geo, b, size, transform_config)
-        x = affine_warp_batch(x, mats)
-        gt_boxes = transform_boxes_batch(mats, gt_boxes)
-    if color:
-        x = random_color_batch(k_col, x, color_config)
 
     if extents is None:
         hi = jnp.full((b, 2), float(size), jnp.float32)
     else:
         hi = extents.astype(jnp.float32)
+    rows = jnp.arange(size, dtype=jnp.float32)
+    ext_mask = (
+        (rows[None, :, None] < hi[:, 0, None, None])
+        & (rows[None, None, :] < hi[:, 1, None, None])
+    )[..., None].astype(jnp.float32)  # (B, S, S, 1) visible-image rect
+
+    if geometric:
+        # conjugate the affine about the VISIBLE-IMAGE centre (not the
+        # canvas centre): a flip then maps the image onto itself instead of
+        # into the letterbox padding, matching the host path's
+        # flip-about-the-image-centre semantics.
+        mats = sample_transform_matrices(
+            k_geo, b, size, transform_config, extents=extents
+        )
+        # warp an alpha channel alongside RGB: it marks where source
+        # content landed, so colour ops can skip warped-in black borders
+        # (the host colours BEFORE warping, so its borders stay black too)
+        x4 = jnp.concatenate([x, ext_mask * 255.0], axis=-1)
+        w4 = affine_warp_batch(x4, mats)
+        x = w4[..., :3] * ext_mask  # content past the extent rect is
+        # dropped, exactly as the box clip below drops it
+        vis = (w4[..., 3:] > 127.5).astype(jnp.float32) * ext_mask
+        gt_boxes = transform_boxes_batch(mats, gt_boxes)
+    else:
+        vis = ext_mask
+    if color:
+        x = random_color_batch(k_col, x, color_config, mask=vis)
+
     # clip to (w, h) order for xyxy and drop degenerates via label = -1
     lim = jnp.stack([hi[:, 1], hi[:, 0], hi[:, 1], hi[:, 0]], axis=-1)
     gt_boxes = jnp.clip(gt_boxes, 0.0, lim[:, None, :])

@@ -254,7 +254,12 @@ def main(argv=None):
                 if isinstance(v, (int, float)):
                     tf.summary.scalar(k, v)
 
-    lr_scale = 1.0
+    # Host mirror of the plateau multiplier. On --snapshot resume it must
+    # start from the RESTORED value, or the first plateau after resume
+    # would overwrite a decayed scale with 1.0*factor and RAISE the LR.
+    lr_scale = (
+        float(state.lr_scale) if state.lr_scale is not None else 1.0
+    )
     best_map, bad_epochs = -1.0, 0
     step_rng = jax.random.PRNGKey(args.seed + 1)
     t_epoch = time.time()

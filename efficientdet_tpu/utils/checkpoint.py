@@ -43,9 +43,31 @@ class CheckpointManager:
         step = self.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
-        return self._mgr.restore(
-            step, args=ocp.args.StandardRestore(state_template)
-        )
+        try:
+            return self._mgr.restore(
+                step, args=ocp.args.StandardRestore(state_template)
+            )
+        except Exception:
+            # Back-compat: snapshots written before TrainState grew the
+            # lr_scale leaf have no such subtree; orbax rejects a template
+            # with an extra leaf. Retry with a plain-dict template that
+            # omits it, then backfill the template's value (1.0 = no
+            # plateau decay yet).
+            import dataclasses
+
+            lr = getattr(state_template, "lr_scale", None)
+            if lr is None or not dataclasses.is_dataclass(state_template):
+                raise
+            slim = {
+                f.name: getattr(state_template, f.name)
+                for f in dataclasses.fields(state_template)
+                if f.name != "lr_scale"
+                and getattr(state_template, f.name) is not None
+            }
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(slim)
+            )
+            return state_template.replace(**restored, lr_scale=lr)
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()

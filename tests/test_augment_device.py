@@ -192,6 +192,50 @@ class TestAugmentBatch:
         )
         assert (np.asarray(out_labels)[:, 2:] == -1).all()
 
+    def test_flip_on_letterboxed_portrait_keeps_boxes(self):
+        """Regression: a flip must map the image onto ITSELF (about the
+        visible-extent centre), not reflect it into the letterbox padding
+        where the extent clip would destroy every ground-truth box."""
+        size = 64
+        rng = np.random.RandomState(3)
+        images = np.zeros((1, size, size, 3), np.uint8)
+        # portrait content: only the left 32 columns are image
+        images[:, :, :32] = rng.randint(1, 256, (1, size, 32, 3))
+        boxes = jnp.asarray([[[2.0, 4.0, 20.0, 30.0]]])
+        labels = jnp.asarray([[5]], jnp.int32)
+        extents = jnp.asarray([[64.0, 32.0]])  # (h, w)
+        cfg = _point_config(rot=0, tx=0, ty=0, shear=0, sx=1, sy=1,
+                            flip_x=1.0)
+        out_img, out_boxes, out_labels = augment_batch_device(
+            jax.random.PRNGKey(0), jnp.asarray(images), boxes, labels,
+            extents=extents, transform_config=cfg, color=False,
+        )
+        assert int(np.asarray(out_labels)[0, 0]) == 5  # box survives
+        ob = np.asarray(out_boxes)[0, 0]
+        # flipped about x = 16: [2, 20] -> [12, 30], y unchanged
+        np.testing.assert_allclose(ob, [12.0, 4.0, 30.0, 30.0], atol=1e-3)
+        oi = np.asarray(out_img)[0]
+        assert oi[:, 32:].max() == 0.0      # padding still empty
+        assert oi[:, :32].max() > 0.0       # content still present
+
+    def test_color_keeps_letterbox_padding_black(self):
+        """Regression: brightness/contrast must not lift the letterbox
+        padding away from 0 (eval-time preprocessing keeps it black)."""
+        size = 64
+        rng = np.random.RandomState(4)
+        images = np.zeros((1, size, size, 3), np.uint8)
+        images[:, :40, :40] = rng.randint(1, 256, (1, 40, 40, 3))
+        boxes = jnp.asarray([[[2.0, 2.0, 20.0, 20.0]]])
+        labels = jnp.asarray([[1]], jnp.int32)
+        extents = jnp.asarray([[40.0, 40.0]])
+        out_img, _, _ = augment_batch_device(
+            jax.random.PRNGKey(9), jnp.asarray(images), boxes, labels,
+            extents=extents, geometric=False, color=True,
+        )
+        oi = np.asarray(out_img)[0]
+        assert oi[40:, :].max() == 0.0 and oi[:, 40:].max() == 0.0
+        assert not np.array_equal(oi[:40, :40], images[0, :40, :40])
+
 
 @pytest.mark.slow
 class TestTrainStepIntegration:

@@ -43,6 +43,41 @@ class TestCheckpointManager:
         with pytest.raises(FileNotFoundError):
             mgr.restore(make_state(0))
 
+    def test_legacy_snapshot_without_lr_scale(self, tmp_path):
+        """A snapshot written before TrainState grew lr_scale must restore
+        into the new template, with lr_scale backfilled to the template's
+        value (1.0)."""
+        import flax
+
+        @flax.struct.dataclass
+        class OldState:
+            step: jax.Array
+            params: dict
+
+        @flax.struct.dataclass
+        class NewState:
+            step: jax.Array
+            params: dict
+            lr_scale: jax.Array = None
+
+        mgr = CheckpointManager(str(tmp_path / "ck"))
+        mgr.save(
+            3,
+            OldState(
+                step=jnp.asarray(3),
+                params={"w": jnp.full((2, 2), 7.0)},
+            ),
+        )
+        template = NewState(
+            step=jnp.asarray(0),
+            params={"w": jnp.zeros((2, 2))},
+            lr_scale=jnp.ones(()),
+        )
+        got = mgr.restore(template)
+        np.testing.assert_allclose(np.asarray(got.params["w"]), 7.0)
+        assert int(got.step) == 3
+        np.testing.assert_allclose(np.asarray(got.lr_scale), 1.0)
+
 
 def test_params_only_roundtrip(tmp_path):
     params = {"a": np.arange(6, dtype=np.float32).reshape(2, 3)}

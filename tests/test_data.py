@@ -284,6 +284,33 @@ class TestShardedIterator:
         assert collect(0) == collect(0)
         assert set(collect(0)).isdisjoint(collect(1))
 
+    def test_sharding_preserves_aspect_groups(self, csv_dataset):
+        """Sharding must stride over whole batches when group_by_aspect is
+        on — element-striding would interleave aspect groups."""
+        from efficientdet_tpu.data.common import batch_iterator
+
+        bs = 2
+        # unsharded grouped order: which pairs belong together
+        base_pairs = []
+        for b in batch_iterator(
+            csv_dataset, bs, target_size=64, shuffle=True, seed=5,
+            group_by_aspect=True, drop_last=True,
+        ):
+            base_pairs.append(frozenset(b["indices"].tolist()))
+        seen = []
+        shard_pairs = []
+        for si in range(2):
+            for b in batch_iterator(
+                csv_dataset, bs, target_size=64, shuffle=True, seed=5,
+                group_by_aspect=True, shard_index=si, shard_count=2,
+                drop_last=True,
+            ):
+                shard_pairs.append(frozenset(b["indices"].tolist()))
+                seen.extend(b["indices"].tolist())
+        # every sharded batch is one of the unsharded aspect groups
+        assert set(shard_pairs) <= set(base_pairs)
+        assert len(seen) == len(set(seen))  # disjoint across shards
+
     def test_bad_shard_index_raises(self, csv_dataset):
         import pytest as _pytest
 
