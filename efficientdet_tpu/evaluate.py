@@ -81,6 +81,34 @@ def build_dataset(args):
     return CsvDataset(args.annotations_path, args.classes_path)
 
 
+def resolve_model_args(saved_cfg, phi, weighted, image_size, num_classes):
+    """Merge the persisted model section of train_config.json with CLI args.
+
+    Saved phi wins (with a warning); weighted_bifpn/image_size fall back to
+    the saved values only when the CLI left them unset (None); a
+    num_classes mismatch against the eval dataset warns but proceeds.
+    """
+    if not saved_cfg or "model" not in saved_cfg:
+        return phi, weighted, image_size
+    m = saved_cfg["model"]
+    if m.get("phi") is not None and m["phi"] != phi:
+        print(
+            f"WARNING: snapshot was trained with phi={m['phi']}; "
+            f"using it over --phi {phi}", flush=True,
+        )
+        phi = m["phi"]
+    if weighted is None:
+        weighted = m.get("weighted_bifpn")
+    if image_size is None:
+        image_size = m.get("image_size")
+    if m.get("num_classes") not in (None, num_classes):
+        print(
+            f"WARNING: snapshot num_classes={m['num_classes']} != "
+            f"dataset's {num_classes}", flush=True,
+        )
+    return phi, weighted, image_size
+
+
 def main(argv=None):
     args = parse_args(argv)
 
@@ -110,24 +138,10 @@ def main(argv=None):
     if _os.path.exists(cfg_path):
         with open(cfg_path) as f:
             saved_cfg = json.load(f)
-    phi, weighted, image_size = args.phi, args.weighted_bifpn, args.image_size
-    if saved_cfg and "model" in saved_cfg:
-        m = saved_cfg["model"]
-        if m.get("phi") is not None and m["phi"] != phi:
-            print(
-                f"WARNING: snapshot was trained with phi={m['phi']}; "
-                f"using it over --phi {phi}", flush=True,
-            )
-            phi = m["phi"]
-        if weighted is None:
-            weighted = m.get("weighted_bifpn")
-        if image_size is None:
-            image_size = m.get("image_size")
-        if m.get("num_classes") not in (None, num_classes):
-            print(
-                f"WARNING: snapshot num_classes={m['num_classes']} != "
-                f"dataset's {num_classes}", flush=True,
-            )
+    phi, weighted, image_size = resolve_model_args(
+        saved_cfg, args.phi, args.weighted_bifpn, args.image_size,
+        num_classes,
+    )
     model, cfg = ed.build_efficientdet(
         phi,
         num_classes=num_classes,

@@ -165,3 +165,36 @@ class TestHostOverlap:
 
     def test_empty(self):
         assert compute_overlap(np.zeros((0, 4)), np.zeros((3, 4))).shape == (0, 3)
+
+
+class TestResolveModelArgs:
+    """evaluate.py's snapshot-config precedence (self-describing restore)."""
+
+    def test_no_saved_config_passthrough(self):
+        from efficientdet_tpu.evaluate import resolve_model_args
+
+        assert resolve_model_args(None, 3, None, None, 20) == (3, None, None)
+
+    def test_saved_phi_wins_and_fallbacks_apply(self, capsys):
+        from efficientdet_tpu.evaluate import resolve_model_args
+
+        saved = {"model": {"phi": 6, "weighted_bifpn": True,
+                           "image_size": 1280, "num_classes": 20}}
+        phi, weighted, size = resolve_model_args(saved, 0, None, None, 20)
+        assert (phi, weighted, size) == (6, True, 1280)
+        assert "WARNING" in capsys.readouterr().out  # phi override warned
+
+    def test_cli_explicit_flags_beat_saved(self):
+        from efficientdet_tpu.evaluate import resolve_model_args
+
+        saved = {"model": {"phi": 0, "weighted_bifpn": True,
+                           "image_size": 512, "num_classes": 20}}
+        phi, weighted, size = resolve_model_args(saved, 0, False, 640, 20)
+        assert (phi, weighted, size) == (0, False, 640)
+
+    def test_num_classes_mismatch_warns(self, capsys):
+        from efficientdet_tpu.evaluate import resolve_model_args
+
+        saved = {"model": {"phi": 0, "num_classes": 90}}
+        resolve_model_args(saved, 0, None, None, 20)
+        assert "num_classes" in capsys.readouterr().out
