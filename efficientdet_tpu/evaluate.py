@@ -60,6 +60,9 @@ def parse_args(argv=None):
         q.add_argument("--iou-threshold", type=float, default=0.5,
                        help="VOC matching IoU (reference 0.5)")
         q.add_argument("--max-images", type=int, default=None)
+        q.add_argument("--save-detections", default=None, metavar="PATH",
+                       help="also write the detections as a COCO results "
+                            "JSON (loadRes/test-dev submission format)")
         q.add_argument("--use-ema", action="store_true",
                        help="evaluate the EMA params if present in the snapshot")
         q.add_argument("--fast-eval", action="store_true",
@@ -188,6 +191,7 @@ def main(argv=None):
             batch_size=args.batch_size,
             score_threshold=args.score_threshold,
             max_images=args.max_images,
+            save_detections=args.save_detections,
         )
         print(json.dumps({k: round(v, 4) for k, v in stats.items()}))
     else:

@@ -351,12 +351,24 @@ def evaluate_coco(
     batch_size: int = 8,
     score_threshold: float = 0.05,
     max_images: Optional[int] = None,
+    save_detections: Optional[str] = None,
 ) -> Dict[str, float]:
-    """End-to-end COCO eval (reference ``eval/coco.py`` Evaluate callback)."""
+    """End-to-end COCO eval (reference ``eval/coco.py`` Evaluate callback).
+
+    ``save_detections``: optional path; writes the raw detection dicts
+    ({image_id, category_id, bbox xywh, score}) as a COCO results JSON —
+    the file ``COCO.loadRes`` consumes and the test-dev server accepts
+    (the reference workflow's submission artifact).
+    """
     results = collect_detections(
         dataset, predict_fn, variables, image_size, batch_size,
         score_threshold, max_images,
     )
+    if save_detections:
+        import json as _json
+
+        with open(save_detections, "w") as f:
+            _json.dump(results, f)
     image_ids = [
         dataset.image_id(i)
         for i in range(
