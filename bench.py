@@ -209,6 +209,55 @@ def bench_phi(phi, batch, steps, warmup, dtype_name, trace_dir=None,
     return img_s_per_chip
 
 
+_RETRY_ENV = "_BENCH_BACKEND_RETRY"
+_MAX_BACKEND_RETRIES = 4
+_RETRY_SLEEP_S = 180
+
+
+def _wait_for_backend():
+    """Probe the accelerator; on transient init failure, re-exec with
+    bounded retries instead of failing the round-end artifact.
+
+    The axon relay occasionally refuses backend setup for minutes at a
+    time ("TPU backend setup/compile error (Unavailable)"); jax caches the
+    failed backend in-process, so recovery needs a fresh process.
+    """
+    import os
+    import signal
+
+    def _timeout(signum, frame):
+        raise TimeoutError("backend probe exceeded 300 s (axon relay hang)")
+
+    try:
+        signal.signal(signal.SIGALRM, _timeout)
+        signal.alarm(300)
+        try:
+            import jax
+
+            jax.devices()
+        finally:
+            signal.alarm(0)
+        return
+    except Exception as e:
+        tries = int(os.environ.get(_RETRY_ENV, "0"))
+        if tries >= _MAX_BACKEND_RETRIES:
+            raise
+        print(
+            json.dumps(
+                {
+                    "event": "backend_unavailable_retry",
+                    "attempt": tries + 1,
+                    "sleep_s": _RETRY_SLEEP_S,
+                    "error": str(e)[:200],
+                }
+            ),
+            flush=True,
+        )
+        time.sleep(_RETRY_SLEEP_S)
+        os.environ[_RETRY_ENV] = str(tries + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--phi", type=int, default=None,
@@ -222,6 +271,8 @@ def main():
                    help="directory: capture a jax.profiler trace of the "
                    "timed steps")
     args = p.parse_args()
+
+    _wait_for_backend()
 
     if not args.skip_parity:
         run_kernel_parity()
