@@ -157,7 +157,7 @@ def bench_phi(phi, batch, steps, warmup, dtype_name, trace_dir=None,
 
     # NOTE: on the axon relay backend block_until_ready can return before
     # execution completes; a host fetch (np.asarray) is the reliable fence.
-    for _ in range(warmup):
+    for _ in range(max(warmup, 1)):  # >=1: compile outside the timed loop
         out = predict(variables, images)
     np.asarray(out[3])
 
