@@ -218,6 +218,38 @@ class TestAugmentBatch:
         assert oi[:, 32:].max() == 0.0      # padding still empty
         assert oi[:, :32].max() > 0.0       # content still present
 
+    def test_box_geometry_matches_host_path_through_letterbox(self):
+        """The device transform (about the extent centre, translations
+        scaled by the extent) is exactly the letterbox-scale conjugation
+        of the host transform (about the raw-image centre): boxes must
+        come out identical whether transformed on the raw image then
+        letterbox-scaled (host order) or letterbox-scaled then
+        device-transformed."""
+        raw_hw = (100, 50)  # portrait
+        size = 64
+        scale = size / max(raw_hw)
+        cfg = _point_config()  # rot/trans/shear/scale point values
+        host_m = random_transform_matrix(
+            np.random.RandomState(0), raw_hw, cfg
+        )
+        raw_boxes = np.asarray(
+            [[4.0, 8.0, 30.0, 60.0], [10.0, 20.0, 45.0, 90.0]], np.float32
+        )
+        host_out = transform_boxes(host_m, raw_boxes) * scale
+
+        extents = jnp.asarray(
+            [[raw_hw[0] * scale, raw_hw[1] * scale]], jnp.float32
+        )
+        dev_m = sample_transform_matrices(
+            jax.random.PRNGKey(0), 1, size, cfg, extents=extents
+        )
+        dev_out = transform_boxes_batch(
+            dev_m, jnp.asarray(raw_boxes * scale)[None]
+        )
+        np.testing.assert_allclose(
+            np.asarray(dev_out)[0], host_out, atol=1e-3
+        )
+
     def test_color_keeps_letterbox_padding_black(self):
         """Regression: brightness/contrast must not lift the letterbox
         padding away from 0 (eval-time preprocessing keeps it black)."""
