@@ -75,11 +75,28 @@ class Predictor:
 
     @classmethod
     def from_checkpoint(cls, path: str, **kwargs) -> "Predictor":
-        from efficientdet_tpu.utils.checkpoint import load_params
+        """Load weights from either a params-only checkpoint (save_params /
+        utils.export) or a train.py snapshot directory (CheckpointManager
+        layout with numbered steps — params + batch_stats are partially
+        restored, no optimizer template needed), so `train.py
+        --snapshot-path DIR` then `predict.py --checkpoint DIR` just works.
+        """
+        import os
+
+        from efficientdet_tpu.utils.checkpoint import (
+            CheckpointManager,
+            load_params,
+        )
 
         p = cls(**kwargs)
         template = p._jax.tree.map(np.asarray, p.variables)
-        p.variables = load_params(path, template)
+        is_manager_dir = os.path.isdir(path) and any(
+            s.isdigit() for s in os.listdir(path)
+        )
+        if is_manager_dir:
+            p.variables = CheckpointManager(path).restore_partial(template)
+        else:
+            p.variables = load_params(path, template)
         return p
 
     def _compiled(self, h: int, w: int):

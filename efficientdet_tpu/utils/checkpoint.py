@@ -72,6 +72,25 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def restore_partial(
+        self, sub_template: Any, step: Optional[int] = None
+    ) -> Any:
+        """Restore a SUBTREE of a saved TrainState (e.g. params +
+        batch_stats for inference) without reconstructing the optimizer
+        template the full snapshot carries."""
+        import orbax.checkpoint as ocp
+
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        ckptr = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+        return ckptr.restore(
+            os.path.join(self.directory, str(step), "default"),
+            args=ocp.args.PyTreeRestore(
+                item=sub_template, partial_restore=True
+            ),
+        )
+
 
 def save_params(path: str, params: Any) -> None:
     """One-shot params-only save (reference's prediction-weights .h5)."""

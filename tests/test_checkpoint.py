@@ -43,6 +43,29 @@ class TestCheckpointManager:
         with pytest.raises(FileNotFoundError):
             mgr.restore(make_state(0))
 
+    def test_restore_partial_params_only(self, tmp_path):
+        """Inference loaders (Predictor.from_checkpoint) pull just
+        params+batch_stats out of a full TrainState snapshot — no
+        optimizer template needed."""
+        mgr = CheckpointManager(str(tmp_path / "ck"))
+        full = {
+            "step": np.asarray(7),
+            "params": {"w": np.full((2, 3), 4.0, np.float32)},
+            "batch_stats": {"mean": np.arange(3, dtype=np.float32)},
+            "opt_state": {"mu": np.ones(5, np.float32)},
+        }
+        mgr.save(7, full)
+        sub = {
+            "params": {"w": np.zeros((2, 3), np.float32)},
+            "batch_stats": {"mean": np.zeros(3, np.float32)},
+        }
+        got = mgr.restore_partial(sub)
+        np.testing.assert_allclose(got["params"]["w"], 4.0)
+        np.testing.assert_allclose(
+            got["batch_stats"]["mean"], [0.0, 1.0, 2.0]
+        )
+        assert "opt_state" not in got
+
     def test_legacy_snapshot_without_lr_scale(self, tmp_path):
         """A snapshot written before TrainState grew lr_scale must restore
         into the new template, with lr_scale backfilled to the template's

@@ -224,3 +224,22 @@ class TestCliRoundTrip:
             "--snapshot", snap, "--phi", "0", "--image-size", "128",
             "--batch-size", "8", "--dtype", "f32", "--max-images", "4",
         ])
+
+        # predict CLI straight off the train snapshot (partial restore of
+        # params+batch_stats from the TrainState checkpoint)
+        from efficientdet_tpu import predict as predict_cli
+        from PIL import Image
+
+        img_path = str(tmp_path / "in.png")
+        Image.fromarray(
+            np.random.RandomState(0).randint(
+                0, 255, (96, 128, 3), np.uint8
+            )
+        ).save(img_path)
+        out_path = str(tmp_path / "out.png")
+        predict_cli.main([
+            "--phi", "0", "--checkpoint", snap, "--image", img_path,
+            "--output", out_path, "--num-classes", "1",
+            "--score-threshold", "0.0",
+        ])
+        assert os.path.exists(out_path)
