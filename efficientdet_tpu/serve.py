@@ -28,6 +28,11 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 
+class PredictorOverloaded(RuntimeError):
+    """Raised by :meth:`BatchingPredictor.predict` when ``max_pending``
+    requests are already queued — shed load or retry with backoff."""
+
+
 class BatchingPredictor:
     """Micro-batching wrapper over the jitted predict function.
 
@@ -38,6 +43,10 @@ class BatchingPredictor:
       max_delay_ms: how long the collector waits to fill a batch before
         flushing a partial one (padded to ``batch_size``).
       eval_config: detection filtering parameters.
+      max_pending: backpressure bound — maximum images queued but not yet
+        flushed to the device. ``predict`` raises :class:`PredictorOverloaded`
+        instead of letting an unbounded queue absorb a traffic spike
+        (default ``32 * batch_size``; pass 0/None for unbounded).
     """
 
     def __init__(
@@ -47,6 +56,7 @@ class BatchingPredictor:
         batch_size: int = 16,
         max_delay_ms: float = 5.0,
         eval_config=None,
+        max_pending: Optional[int] = None,
     ):
         import jax
 
@@ -62,9 +72,15 @@ class BatchingPredictor:
         self._predict = jax.jit(
             lambda v, im: predict_pipeline(model, v, im, ec)
         )
-        self._queue: "queue.Queue" = queue.Queue()
+        if max_pending is None:
+            max_pending = 32 * batch_size
+        self._queue: "queue.Queue" = queue.Queue(maxsize=max_pending or 0)
         self._closed = False
-        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._broken: Optional[BaseException] = None
+        # last dequeued batch; the crash guard fails its unresolved futures
+        # (they are no longer in the queue, so _fail_pending can't see them)
+        self._inflight: Optional[List[Tuple[np.ndarray, float, Future]]] = None
+        self._worker = threading.Thread(target=self._run_guarded, daemon=True)
         self._worker.start()
 
     def predict(self, image: np.ndarray) -> Future:
@@ -72,14 +88,25 @@ class BatchingPredictor:
 
         The future resolves to ``(boxes (N, 4) xyxy in input coords,
         scores (N,), classes (N,))`` with only valid detections included.
+        Raises :class:`PredictorOverloaded` when ``max_pending`` images are
+        already queued (caller should shed load / retry with backoff).
         """
         if self._closed:
             raise RuntimeError("predictor closed")
+        if self._broken is not None:
+            raise RuntimeError(
+                "predictor worker crashed; no further requests accepted"
+            ) from self._broken
         from efficientdet_tpu.data.common import letterbox_hostside
 
         canvas, scale = letterbox_hostside(image, self.size)
         fut: Future = Future()
-        self._queue.put((canvas, scale, fut))
+        try:
+            self._queue.put_nowait((canvas, scale, fut))
+        except queue.Full:
+            raise PredictorOverloaded(
+                f"{self._queue.maxsize} images already pending"
+            ) from None
         return fut
 
     def predict_sync(self, image: np.ndarray, timeout: Optional[float] = 30.0):
@@ -87,11 +114,52 @@ class BatchingPredictor:
         return self.predict(image).result(timeout=timeout)
 
     def close(self):
+        """Stop accepting requests, drain in-flight ones, join the worker.
+
+        Every future submitted before ``close`` resolves (result or error);
+        any request racing past the closed check resolves with an error
+        rather than hanging (the post-join drain below catches items the
+        worker never saw).
+        """
         self._closed = True
-        self._queue.put(None)
-        self._worker.join(timeout=10)
+        try:
+            # bounded put: if the worker crashed with a full queue, waiting
+            # for a consumer that no longer exists would deadlock close()
+            self._queue.put(None, timeout=5)
+        except queue.Full:
+            pass
+        self._worker.join(timeout=60)
+        self._fail_pending(RuntimeError("predictor closed"))
 
     # -- collector -------------------------------------------------------
+
+    def _fail_pending(self, exc: BaseException) -> None:
+        """Resolve every still-queued future with ``exc`` (never deadlock)."""
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if item is not None:
+                item[2].set_exception(exc)
+
+    def _run_guarded(self):
+        """Top-level worker guard: a crash must fail callers, not hang them.
+
+        ``_flush`` already routes device-side errors into the batch's
+        futures; this guard covers everything else (host-side packing,
+        queue logic) — without it a single unexpected exception would kill
+        the collector thread and leave every pending future unresolved
+        forever.
+        """
+        try:
+            self._run()
+        except BaseException as e:  # noqa: BLE001 — must not lose callers
+            self._broken = e
+            for _, _, fut in self._inflight or []:
+                if not fut.done():  # dequeued but unresolved at crash time
+                    fut.set_exception(e)
+            self._fail_pending(e)
 
     def _run(self):
         while True:
@@ -99,6 +167,7 @@ class BatchingPredictor:
             if item is None:
                 return
             batch: List[Tuple[np.ndarray, float, Future]] = [item]
+            self._inflight = batch  # guard visibility: same list object
             # fill up to batch_size, waiting at most max_delay
             import time
 
@@ -199,7 +268,11 @@ def main(argv=None):
             from PIL import Image
 
             img = np.asarray(Image.open(io.BytesIO(body)).convert("RGB"))
-            boxes, scores, classes = predictor.predict_sync(img)
+            try:
+                boxes, scores, classes = predictor.predict_sync(img)
+            except PredictorOverloaded:
+                self.send_error(503, "overloaded: too many pending requests")
+                return
             out = json.dumps(
                 {
                     "detections": [

@@ -1,16 +1,21 @@
-"""Tests for the micro-batching serving front-end."""
+"""Tests for the micro-batching serving front-end.
+
+Two groups: the end-to-end tests (slow tier — full-model jit) and the
+concurrency-contract tests (fast tier — the device call is stubbed so
+overload/shutdown/crash semantics are tested without a single compile;
+VERDICT r2 next #7).
+"""
 
 import threading
+import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from efficientdet_tpu.serve import BatchingPredictor
+from efficientdet_tpu.serve import BatchingPredictor, PredictorOverloaded
 
 import pytest
-
-pytestmark = pytest.mark.slow  # compile-heavy: full-tier only (pytest -m '')
 
 
 def tiny_model():
@@ -28,6 +33,162 @@ def tiny_model():
     return EfficientDet(config=cfg)
 
 
+def stub_predictor(batch_size=2, max_delay_ms=1.0, max_pending=None,
+                   predict=None):
+    """A BatchingPredictor whose device call is a host-side stub.
+
+    No jit compile ever runs: ``_predict`` is replaced before any request
+    is submitted, so the concurrency contract (queueing, overload,
+    shutdown, crash propagation) is exercised at full speed in the fast
+    tier. The stub must be installed before the first ``predict()`` call —
+    the collector only touches ``_predict`` when flushing a batch.
+    """
+
+    class _Cfg:
+        image_size = 64
+
+    class _FakeModel:
+        config = _Cfg()
+
+    pred = BatchingPredictor(
+        _FakeModel(), variables={}, batch_size=batch_size,
+        max_delay_ms=max_delay_ms, max_pending=max_pending,
+    )
+
+    def default_predict(variables, images):
+        b = images.shape[0]
+        boxes = np.tile(np.asarray([[1.0, 2.0, 30.0, 40.0]], np.float32),
+                        (b, 100, 1)).reshape(b, 100, 4)
+        scores = np.zeros((b, 100), np.float32)
+        scores[:, 0] = 0.9
+        classes = np.zeros((b, 100), np.int32)
+        nvalid = np.ones((b,), np.int32)
+        return boxes, scores, classes, nvalid
+
+    pred._predict = predict or default_predict
+    return pred
+
+
+class TestConcurrencyContract:
+    """Fast-tier: overload, shutdown-mid-flight, crash propagation."""
+
+    def _img(self, seed=0):
+        return np.random.RandomState(seed).randint(
+            0, 255, (48, 64, 3), np.uint8
+        )
+
+    def test_overload_raises_and_recovers(self):
+        started = threading.Event()
+        release = threading.Event()
+
+        def blocking_predict(variables, images):
+            started.set()
+            assert release.wait(timeout=30)
+            b = images.shape[0]
+            return (
+                np.zeros((b, 100, 4), np.float32),
+                np.zeros((b, 100), np.float32),
+                np.zeros((b, 100), np.int32),
+                np.zeros((b,), np.int32),
+            )
+
+        pred = stub_predictor(batch_size=1, max_delay_ms=0.0,
+                              max_pending=2, predict=blocking_predict)
+        try:
+            f0 = pred.predict(self._img())   # dequeued by the collector,
+            assert started.wait(timeout=30)  # now blocking on-device
+            f1 = pred.predict(self._img(1))  # fills the bounded queue
+            f2 = pred.predict(self._img(2))
+            with pytest.raises(PredictorOverloaded):
+                pred.predict(self._img(3))   # backpressure, not growth
+            release.set()
+            for f in (f0, f1, f2):
+                f.result(timeout=30)
+            # capacity freed: accepted again
+            pred.predict(self._img(4)).result(timeout=30)
+        finally:
+            release.set()
+            pred.close()
+
+    def test_device_exception_propagates_and_worker_survives(self):
+        calls = {"n": 0}
+
+        def flaky_predict(variables, images):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise ValueError("injected device error")
+            b = images.shape[0]
+            return (
+                np.zeros((b, 100, 4), np.float32),
+                np.zeros((b, 100), np.float32),
+                np.zeros((b, 100), np.int32),
+                np.zeros((b,), np.int32),
+            )
+
+        pred = stub_predictor(batch_size=1, predict=flaky_predict)
+        try:
+            with pytest.raises(ValueError, match="injected device error"):
+                pred.predict(self._img()).result(timeout=30)
+            # a device-side error fails THAT batch only; the collector and
+            # the predictor stay up for subsequent traffic
+            boxes, scores, classes = pred.predict(self._img(1)).result(
+                timeout=30
+            )
+            assert boxes.shape[1] == 4
+        finally:
+            pred.close()
+
+    def test_worker_crash_fails_pending_and_rejects_new(self):
+        pred = stub_predictor(batch_size=1)
+
+        def boom(batch):
+            raise RuntimeError("host-side packing crash")
+
+        pred._flush = boom  # crash OUTSIDE the per-batch error handling
+        fut = pred.predict(self._img())
+        with pytest.raises(RuntimeError, match="packing crash"):
+            fut.result(timeout=30)
+        # collector is gone: new requests are rejected loudly, not queued
+        # into a void
+        deadline = time.monotonic() + 30
+        while pred._broken is None and time.monotonic() < deadline:
+            time.sleep(0.01)
+        with pytest.raises(RuntimeError, match="worker crashed"):
+            pred.predict(self._img(1))
+        pred.close()  # must not deadlock
+
+    def test_close_with_inflight_resolves_everything(self):
+        def slow_predict(variables, images):
+            time.sleep(0.05)
+            b = images.shape[0]
+            return (
+                np.zeros((b, 100, 4), np.float32),
+                np.zeros((b, 100), np.float32),
+                np.zeros((b, 100), np.int32),
+                np.ones((b,), np.int32),
+            )
+
+        pred = stub_predictor(batch_size=2, max_delay_ms=1.0,
+                              predict=slow_predict)
+        futs = [pred.predict(self._img(i)) for i in range(8)]
+        pred.close()
+        # every pre-close future resolves — with a result (drained) or the
+        # shutdown error (raced past the sentinel) — never a hang
+        for f in futs:
+            assert f.done(), "future left hanging after close()"
+            if f.exception() is None:
+                assert f.result()[0].shape[1] == 4
+            else:
+                assert "closed" in str(f.exception())
+
+    def test_predict_after_close_raises(self):
+        pred = stub_predictor()
+        pred.close()
+        with pytest.raises(RuntimeError, match="closed"):
+            pred.predict(self._img())
+
+
+@pytest.mark.slow  # compile-heavy: full-tier only (pytest -m '')
 class TestBatchingPredictor:
     def test_concurrent_submissions_batched(self):
         model = tiny_model()
