@@ -47,6 +47,12 @@ class BatchingPredictor:
         flushed to the device. ``predict`` raises :class:`PredictorOverloaded`
         instead of letting an unbounded queue absorb a traffic spike
         (default ``32 * batch_size``; pass 0/None for unbounded).
+      pipeline_depth: how many batches may be in flight on the device at
+        once. JAX dispatch is asynchronous, so with depth 2 (default) the
+        dispatcher enqueues batch N+1's compute while batch N's results
+        stream back to the host — device compute overlaps device->host
+        transfer + host-side unpacking instead of serialising on
+        ``np.asarray``. Depth 1 restores strict one-at-a-time behaviour.
     """
 
     def __init__(
@@ -57,6 +63,7 @@ class BatchingPredictor:
         max_delay_ms: float = 5.0,
         eval_config=None,
         max_pending: Optional[int] = None,
+        pipeline_depth: int = 2,
     ):
         import jax
 
@@ -75,13 +82,22 @@ class BatchingPredictor:
         if max_pending is None:
             max_pending = 32 * batch_size
         self._queue: "queue.Queue" = queue.Queue(maxsize=max_pending or 0)
+        # dispatched-but-unfetched batches; its bound IS the pipeline depth
+        self._inflight_q: "queue.Queue" = queue.Queue(
+            maxsize=max(pipeline_depth, 1)
+        )
         self._closed = False
         self._broken: Optional[BaseException] = None
-        # last dequeued batch; the crash guard fails its unresolved futures
-        # (they are no longer in the queue, so _fail_pending can't see them)
-        self._inflight: Optional[List[Tuple[np.ndarray, float, Future]]] = None
+        # batches dequeued but not yet resolved; the crash guards fail their
+        # futures (they are in no queue, so the queue drains can't see them)
+        self._dispatching: Optional[List] = None
+        self._resolving: Optional[List] = None
         self._worker = threading.Thread(target=self._run_guarded, daemon=True)
+        self._resolver = threading.Thread(
+            target=self._resolve_guarded, daemon=True
+        )
         self._worker.start()
+        self._resolver.start()
 
     def predict(self, image: np.ndarray) -> Future:
         """Submit one (H, W, 3) RGB uint8 image; returns a Future.
@@ -129,12 +145,24 @@ class BatchingPredictor:
         except queue.Full:
             pass
         self._worker.join(timeout=60)
-        self._fail_pending(RuntimeError("predictor closed"))
+        self._resolver.join(timeout=60)
+        exc = RuntimeError("predictor closed")
+        self._fail_pending(exc)
+        self._fail_inflight(exc)
 
-    # -- collector -------------------------------------------------------
+    # -- dispatcher / resolver pipeline -----------------------------------
+    #
+    # Two stages connected by a bounded in-flight queue:
+    #   dispatcher: request queue -> micro-batch -> pack -> self._predict
+    #               (JAX enqueues the computation and returns immediately)
+    #   resolver:   in-flight queue -> np.asarray (blocks until the device
+    #               finishes + results land on the host) -> resolve futures
+    # While the resolver waits on batch N's transfer, the dispatcher has
+    # already queued batch N+1's compute, so the device never idles between
+    # micro-batches. The in-flight queue bound is the pipeline depth.
 
     def _fail_pending(self, exc: BaseException) -> None:
-        """Resolve every still-queued future with ``exc`` (never deadlock)."""
+        """Resolve every still-queued request future with ``exc``."""
         while True:
             try:
                 item = self._queue.get_nowait()
@@ -143,23 +171,52 @@ class BatchingPredictor:
             if item is not None:
                 item[2].set_exception(exc)
 
-    def _run_guarded(self):
-        """Top-level worker guard: a crash must fail callers, not hang them.
+    def _fail_inflight(self, exc: BaseException) -> None:
+        """Resolve every dispatched-but-unfetched future with ``exc``."""
+        while True:
+            try:
+                item = self._inflight_q.get_nowait()
+            except queue.Empty:
+                return
+            if item is not None:
+                for _, _, fut in item[0]:
+                    if not fut.done():
+                        fut.set_exception(exc)
 
-        ``_flush`` already routes device-side errors into the batch's
+    @staticmethod
+    def _fail_batch(batch, exc: BaseException) -> None:
+        for _, _, fut in batch or []:
+            if not fut.done():
+                fut.set_exception(exc)
+
+    def _run_guarded(self):
+        """Dispatcher guard: a crash must fail callers, not hang them.
+
+        ``_flush`` already routes dispatch-time errors into the batch's
         futures; this guard covers everything else (host-side packing,
         queue logic) — without it a single unexpected exception would kill
-        the collector thread and leave every pending future unresolved
-        forever.
+        the thread and leave every pending future unresolved forever.
         """
         try:
             self._run()
         except BaseException as e:  # noqa: BLE001 — must not lose callers
             self._broken = e
-            for _, _, fut in self._inflight or []:
-                if not fut.done():  # dequeued but unresolved at crash time
-                    fut.set_exception(e)
+            self._fail_batch(self._dispatching, e)
             self._fail_pending(e)
+        finally:
+            # always hand the resolver its shutdown sentinel, crash or not
+            try:
+                self._inflight_q.put(None, timeout=5)
+            except queue.Full:
+                pass  # resolver crashed with a full pipeline; drains handle it
+
+    def _resolve_guarded(self):
+        try:
+            self._resolve_loop()
+        except BaseException as e:  # noqa: BLE001
+            self._broken = e
+            self._fail_batch(self._resolving, e)
+            self._fail_inflight(e)
 
     def _run(self):
         while True:
@@ -167,7 +224,7 @@ class BatchingPredictor:
             if item is None:
                 return
             batch: List[Tuple[np.ndarray, float, Future]] = [item]
-            self._inflight = batch  # guard visibility: same list object
+            self._dispatching = batch  # guard visibility: same list object
             # fill up to batch_size, waiting at most max_delay
             import time
 
@@ -185,34 +242,60 @@ class BatchingPredictor:
                     return
                 batch.append(nxt)
             self._flush(batch)
+            self._dispatching = None
 
     def _flush(self, batch):
+        """Pack and DISPATCH one micro-batch (does not wait for results)."""
         images = np.zeros(
             (self.batch_size, self.size, self.size, 3), np.uint8
         )
         for i, (canvas, _, _) in enumerate(batch):
             images[i] = canvas
         try:
-            boxes, scores, classes, nvalid = self._predict(
-                self.variables, images
-            )
-            boxes = np.asarray(boxes)
-            scores = np.asarray(scores)
-            classes = np.asarray(classes)
-            nvalid = np.asarray(nvalid)
-        except Exception as e:  # resolve all futures with the error
-            for _, _, fut in batch:
-                fut.set_exception(e)
+            outputs = self._predict(self.variables, images)
+        except Exception as e:  # dispatch-time error (tracing, shapes, OOM)
+            self._fail_batch(batch, e)
             return
-        for i, (_, scale, fut) in enumerate(batch):
-            n = int(nvalid[i])
-            fut.set_result(
-                (
-                    boxes[i, :n] / scale,  # back to input coordinates
-                    scores[i, :n],
-                    classes[i, :n],
+        # hand to the resolver; blocks only when `pipeline_depth` batches
+        # are already in flight (that wait IS the pipeline backpressure).
+        # Bounded waits so a dead resolver can't wedge the dispatcher.
+        while True:
+            if self._broken is not None:
+                self._fail_batch(batch, self._broken)
+                return
+            try:
+                self._inflight_q.put((batch, outputs), timeout=0.5)
+                return
+            except queue.Full:
+                continue
+
+    def _resolve_loop(self):
+        while True:
+            item = self._inflight_q.get()
+            if item is None:
+                return
+            batch, outputs = item
+            self._resolving = batch
+            try:
+                # blocks until the device finishes this batch and the
+                # results are on the host — the dispatcher keeps working
+                boxes, scores, classes, nvalid = (
+                    np.asarray(o) for o in outputs
                 )
-            )
+            except Exception as e:  # device-side error surfaces at fetch
+                self._fail_batch(batch, e)
+                self._resolving = None
+                continue
+            for i, (_, scale, fut) in enumerate(batch):
+                n = int(nvalid[i])
+                fut.set_result(
+                    (
+                        boxes[i, :n] / scale,  # back to input coordinates
+                        scores[i, :n],
+                        classes[i, :n],
+                    )
+                )
+            self._resolving = None
 
 
 def main(argv=None):

@@ -187,6 +187,84 @@ class TestConcurrencyContract:
         with pytest.raises(RuntimeError, match="closed"):
             pred.predict(self._img())
 
+    def test_fetch_error_isolated_to_its_batch(self):
+        """A device error surfacing at result-fetch time (the pipelined
+        path: np.asarray in the resolver) fails that batch only."""
+
+        class BoomArray:
+            def __array__(self, *a, **k):
+                raise ValueError("fetch boom")
+
+        calls = {"n": 0}
+
+        def predict(variables, images):
+            calls["n"] += 1
+            b = images.shape[0]
+            good = (
+                np.zeros((b, 100, 4), np.float32),
+                np.zeros((b, 100), np.float32),
+                np.zeros((b, 100), np.int32),
+                np.ones((b,), np.int32),
+            )
+            return (BoomArray(),) + good[1:] if calls["n"] == 1 else good
+
+        pred = stub_predictor(batch_size=1, predict=predict)
+        try:
+            f0 = pred.predict(self._img())
+            with pytest.raises(ValueError, match="fetch boom"):
+                f0.result(timeout=30)
+            # the pipeline keeps flowing: the NEXT batch resolves fine
+            boxes, _, _ = pred.predict(self._img(1)).result(timeout=30)
+            assert boxes.shape == (1, 4)
+        finally:
+            pred.close()
+
+    def test_dispatch_overlaps_fetch(self):
+        """The point of the pipeline: while batch N's results are being
+        fetched (resolver blocked), batch N+1 must already be DISPATCHED
+        (device call issued) rather than waiting behind the fetch."""
+        dispatched = []
+        fetch_gate = threading.Event()
+        second_dispatched = threading.Event()
+
+        class SlowFetch:
+            def __init__(self, arr):
+                self.arr = arr
+
+            def __array__(self, *a, **k):
+                # resolver blocks here until the test confirms overlap
+                assert fetch_gate.wait(timeout=30)
+                return self.arr
+
+        def predict(variables, images):
+            b = images.shape[0]
+            dispatched.append(b)
+            if len(dispatched) == 2:
+                second_dispatched.set()
+            return (
+                SlowFetch(np.zeros((b, 100, 4), np.float32)),
+                np.zeros((b, 100), np.float32),
+                np.zeros((b, 100), np.int32),
+                np.ones((b,), np.int32),
+            )
+
+        pred = stub_predictor(batch_size=1, max_delay_ms=0.0,
+                              predict=predict)
+        try:
+            f0 = pred.predict(self._img(0))
+            f1 = pred.predict(self._img(1))
+            # batch 1 is stuck in fetch; batch 2's dispatch must still happen
+            assert second_dispatched.wait(timeout=30), (
+                "dispatcher serialised on the resolver's fetch"
+            )
+            assert not f0.done()  # fetch really was blocked the whole time
+            fetch_gate.set()
+            f0.result(timeout=30)
+            f1.result(timeout=30)
+        finally:
+            fetch_gate.set()
+            pred.close()
+
 
 @pytest.mark.slow  # compile-heavy: full-tier only (pytest -m '')
 class TestBatchingPredictor:
