@@ -123,6 +123,10 @@ class BatchingPredictor:
             raise PredictorOverloaded(
                 f"{self._queue.maxsize} images already pending"
             ) from None
+        if self._closed and not self._worker.is_alive():
+            # raced past the closed check while close() was draining: the
+            # worker will never see this item — fail it instead of hanging
+            self._fail_pending(RuntimeError("predictor closed"))
         return fut
 
     def predict_sync(self, image: np.ndarray, timeout: Optional[float] = 30.0):
