@@ -240,7 +240,18 @@ def _watchdog_parent():
     import subprocess
     import tempfile
 
+    def _killpg(proc, sig=signal.SIGKILL):
+        """Kill the child's whole process group (it runs in its own
+        session), so a watchdog kill can't orphan grandchildren holding
+        the chip."""
+        try:
+            os.killpg(proc.pid, sig)
+        except (ProcessLookupError, PermissionError):
+            proc.kill()
+        proc.wait()
+
     last_err = "backend probe hang (no sentinel within window)"
+    last_kind = "hang"
     for attempt in range(1, _MAX_ATTEMPTS + 1):
         fd, sentinel = tempfile.mkstemp(prefix="bench_probe_")
         os.close(fd)
@@ -248,7 +259,20 @@ def _watchdog_parent():
         env = dict(os.environ)
         env[_CHILD_ENV] = "1"
         env[_SENTINEL_ENV] = sentinel
-        child = subprocess.Popen([sys.executable] + sys.argv, env=env)
+        child = subprocess.Popen(
+            [sys.executable] + sys.argv, env=env, start_new_session=True
+        )
+
+        # forward a pid-targeted kill of THIS parent to the child's group —
+        # otherwise the driver's timeout kill would leave the real bench
+        # running and holding the TPU for whatever runs next
+        def _forward(signum, frame, _child=child):
+            _killpg(_child)
+            sys.exit(128 + signum)
+
+        signal.signal(signal.SIGTERM, _forward)
+        signal.signal(signal.SIGINT, _forward)
+
         deadline = time.time() + _PROBE_WINDOW_S
         probed = False
         while time.time() < deadline:
@@ -261,16 +285,17 @@ def _watchdog_parent():
         if probed:
             sys.exit(child.wait())
         if child.poll() is None:
-            child.send_signal(signal.SIGKILL)
-            child.wait()
+            _killpg(child)
             last_err = (
                 f"backend probe hung >{_PROBE_WINDOW_S}s (axon relay outage);"
-                " child SIGKILLed"
+                " child group SIGKILLed"
             )
+            last_kind = "hang"
         elif child.returncode == 0:
             sys.exit(0)  # child finished without probing (e.g. --help)
         else:
             last_err = f"bench child exited rc={child.returncode} before probe"
+            last_kind = "child_error"
         print(
             json.dumps(
                 {
@@ -284,18 +309,33 @@ def _watchdog_parent():
         )
         if attempt < _MAX_ATTEMPTS:
             time.sleep(_RETRY_SLEEP_S)
+    if last_kind == "hang":
+        print(
+            json.dumps(
+                {
+                    "event": "backend_unavailable",
+                    "attempts": _MAX_ATTEMPTS,
+                    "error": last_err,
+                    "note": "structured fast-fail; relay outage, "
+                            "not a code bug",
+                }
+            ),
+            flush=True,
+        )
+        sys.exit(3)
     print(
         json.dumps(
             {
-                "event": "backend_unavailable",
+                "event": "bench_child_failed",
                 "attempts": _MAX_ATTEMPTS,
                 "error": last_err,
-                "note": "structured fast-fail; relay outage, not a code bug",
+                "note": "child died BEFORE the backend probe — likely a "
+                        "code/import bug, not an outage",
             }
         ),
         flush=True,
     )
-    sys.exit(3)
+    sys.exit(4)
 
 
 def _probe_backend_and_signal():

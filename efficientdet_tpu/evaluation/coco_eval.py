@@ -290,18 +290,31 @@ def collect_detections(
     batch_size: int = 8,
     score_threshold: float = 0.05,
     max_images: Optional[int] = None,
+    label_to_cat: Optional[Dict[int, int]] = None,
 ) -> List[dict]:
     """Run (sharded) batched predict over a dataset -> COCO results list.
 
     ``predict_fn(variables, images_uint8) -> (boxes, scores, classes, n)``.
     Boxes come back in model-input coords and are rescaled to source pixels
     by the per-image letterbox scale (reference SS3.3: "rescale boxes").
+
+    ``label_to_cat``: optional override of the dataset's label->category-id
+    mapping, for models whose class space differs from the dataset's (e.g.
+    official automl checkpoints are 90-class over the 91-id COCO space:
+    category_id = label + 1, while the dataset maps its 80 actual
+    categories contiguously). Labels absent from the mapping are DROPPED —
+    they have no annotations to match and unknown category ids would make
+    the saved results JSON unloadable by pycocotools.
     """
     import numpy as _np
 
     from efficientdet_tpu.data.common import batch_iterator
 
-    to_cat = getattr(dataset, "label_to_coco_label", None)
+    to_cat = (
+        label_to_cat
+        if label_to_cat is not None
+        else getattr(dataset, "label_to_coco_label", None)
+    )
     seen = set()
     results: List[dict] = []
     n_limit = len(dataset) if max_images is None else min(max_images, len(dataset))
@@ -327,10 +340,13 @@ def collect_detections(
                     continue
                 x1, y1, x2, y2 = boxes[bi, k] / scale
                 label = int(classes[bi, k])
+                cat = to_cat.get(label) if to_cat is not None else label
+                if to_cat is not None and cat is None:
+                    continue  # class outside the dataset's category set
                 results.append(
                     {
                         "image_id": img_id,
-                        "category_id": to_cat[label] if to_cat else label,
+                        "category_id": cat,
                         "bbox": [
                             float(x1), float(y1),
                             float(x2 - x1), float(y2 - y1),
@@ -352,6 +368,7 @@ def evaluate_coco(
     score_threshold: float = 0.05,
     max_images: Optional[int] = None,
     save_detections: Optional[str] = None,
+    label_to_cat: Optional[Dict[int, int]] = None,
 ) -> Dict[str, float]:
     """End-to-end COCO eval (reference ``eval/coco.py`` Evaluate callback).
 
@@ -359,10 +376,11 @@ def evaluate_coco(
     ({image_id, category_id, bbox xywh, score}) as a COCO results JSON —
     the file ``COCO.loadRes`` consumes and the test-dev server accepts
     (the reference workflow's submission artifact).
+    ``label_to_cat``: see :func:`collect_detections`.
     """
     results = collect_detections(
         dataset, predict_fn, variables, image_size, batch_size,
-        score_threshold, max_images,
+        score_threshold, max_images, label_to_cat=label_to_cat,
     )
     if save_detections:
         import json as _json

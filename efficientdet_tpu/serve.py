@@ -46,7 +46,8 @@ class BatchingPredictor:
       max_pending: backpressure bound — maximum images queued but not yet
         flushed to the device. ``predict`` raises :class:`PredictorOverloaded`
         instead of letting an unbounded queue absorb a traffic spike
-        (default ``32 * batch_size``; pass 0/None for unbounded).
+        (None selects the default ``32 * batch_size``; pass 0 for
+        unbounded).
       pipeline_depth: how many batches may be in flight on the device at
         once. JAX dispatch is asynchronous, so with depth 2 (default) the
         dispatcher enqueues batch N+1's compute while batch N's results
@@ -123,10 +124,15 @@ class BatchingPredictor:
             raise PredictorOverloaded(
                 f"{self._queue.maxsize} images already pending"
             ) from None
-        if self._closed and not self._worker.is_alive():
-            # raced past the closed check while close() was draining: the
-            # worker will never see this item — fail it instead of hanging
-            self._fail_pending(RuntimeError("predictor closed"))
+        if self._broken is not None or (
+            self._closed and not self._worker.is_alive()
+        ):
+            # raced past the closed/broken check while the corresponding
+            # drain ran: the worker will never see this item — fail it
+            # instead of hanging the caller
+            self._fail_pending(
+                self._broken or RuntimeError("predictor closed")
+            )
         return fut
 
     def predict_sync(self, image: np.ndarray, timeout: Optional[float] = 30.0):
@@ -269,9 +275,14 @@ class BatchingPredictor:
                 return
             try:
                 self._inflight_q.put((batch, outputs), timeout=0.5)
-                return
             except queue.Full:
                 continue
+            if self._broken is not None:
+                # resolver crashed between the check above and our put: its
+                # drain may have already run, so nothing would ever consume
+                # this batch — drain again (done futures are skipped)
+                self._fail_inflight(self._broken)
+            return
 
     def _resolve_loop(self):
         while True:
@@ -291,6 +302,8 @@ class BatchingPredictor:
                 self._resolving = None
                 continue
             for i, (_, scale, fut) in enumerate(batch):
+                if fut.done():  # caller cancelled: their loss, not a crash
+                    continue
                 n = int(nvalid[i])
                 fut.set_result(
                     (

@@ -28,6 +28,7 @@ class FakeProc:
         self.hang = hang
         self.killed = False
         self.returncode = None
+        self.pid = 2 ** 30  # bogus; tests stub os.killpg (see _patch_pg)
 
     def wait(self, timeout=None):
         self.returncode = -9 if self.killed else self.returncode_after_wait
@@ -108,6 +109,21 @@ class TestBenchWatchdog:
     def _patch_speed(self, monkeypatch):
         monkeypatch.setattr(bench, "_PROBE_WINDOW_S", 1)
         monkeypatch.setattr(bench, "_RETRY_SLEEP_S", 0)
+        self._patch_pg(monkeypatch)
+
+    def _patch_pg(self, monkeypatch):
+        """FakeProc pids aren't real process groups: route the watchdog's
+        os.killpg to ProcessLookupError (its proc.kill() fallback records
+        the kill) and keep its signal-forwarding registration from touching
+        the pytest process's real handlers."""
+        import os as _os
+        import signal as _signal
+
+        def fake_killpg(pgid, sig):
+            raise ProcessLookupError
+
+        monkeypatch.setattr(_os, "killpg", fake_killpg)
+        monkeypatch.setattr(_signal, "signal", lambda *a, **k: None)
 
     def test_probe_success_exits_with_child_rc(self, monkeypatch, tmp_path):
         self._patch_speed(monkeypatch)

@@ -109,3 +109,46 @@ def test_parity_run_end_to_end(tmp_path, coco_dir, capsys):
             "--bifpn-width", "8", "--bifpn-depth", "1", "--head-depth", "1",
             "--batch-size", "2", "--dtype", "f32", "--paper-ap", "0.0",
         ])
+
+
+def test_parity_run_model_classes_exceed_dataset(tmp_path, coco_dir, capsys):
+    """The real weights-day shape: a 90-class automl-convention model on a
+    dataset that annotates fewer categories (here 4-class vs 2 categories
+    with non-contiguous ids {3, 17}). The drill must use the
+    category_id = label + 1 mapping and drop unannotated labels instead of
+    KeyError-ing on the dataset's contiguous 80-label map."""
+    import dataclasses
+
+    import parity_run
+    from efficientdet_tpu.configs import ModelConfig
+    from efficientdet_tpu.models.detector import EfficientDet
+    from efficientdet_tpu.utils.convert import export_detector_tf_style
+
+    cfg = dataclasses.replace(
+        ModelConfig.for_phi(0, num_classes=4, image_size=128),
+        bifpn_width=8, bifpn_depth=1, head_depth=1,
+    )
+    model = EfficientDet(config=cfg)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(3), jnp.zeros((1, 128, 128, 3))
+    )
+    weights = tmp_path / "synthetic_4c.npz"
+    np.savez(weights, **export_detector_tf_style(variables, cfg))
+
+    parity_run.main([
+        "--weights", str(weights),
+        "--coco-path", coco_dir,
+        "--phi", "0",
+        "--num-classes", "4",
+        "--image-size", "128",
+        "--bifpn-width", "8", "--bifpn-depth", "1", "--head-depth", "1",
+        "--batch-size", "2", "--dtype", "f32", "--paper-ap", "0.0",
+    ])
+    out = capsys.readouterr().out
+    assert "label map: automl 90-id convention" in out
+    assert "1/4 labels have annotated categories" in out
+    rec = [
+        json.loads(ln) for ln in out.splitlines()
+        if ln.startswith("{") and '"parity"' in ln
+    ][-1]
+    assert np.isfinite(rec["AP"])  # eval completed, no KeyError

@@ -155,8 +155,9 @@ def main(argv=None):
 
     print("\n== by HLO category ==")
     for cat, dur in sorted(by_cat.items(), key=lambda kv: -kv[1])[:12]:
+        share = 100 * dur / total_s if total_s else 0.0
         print(f"{cat:<28} {dur * 1e3 / n_steps:>8.2f} ms/step "
-              f"({100 * dur / total_s:>4.1f}%)")
+              f"({share:>4.1f}%)")
 
     print(f"\n== top {args.top} ops (instances merged) ==")
     for name, (dur, byt, flops, tf_op) in sorted(

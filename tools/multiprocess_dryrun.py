@@ -145,7 +145,16 @@ def main():
     losses = []
     ok = True
     for i, pr in enumerate(procs):
-        out, _ = pr.communicate(timeout=1200)
+        try:
+            out, _ = pr.communicate(timeout=1200)
+        except subprocess.TimeoutExpired:
+            # kill ALL workers, not just this one — a half-dead distributed
+            # init leaves the others blocked on the coordinator forever
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                    p.wait()
+            raise
         sys.stdout.write(out)
         ok &= pr.returncode == 0
         for line in out.splitlines():

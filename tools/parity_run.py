@@ -122,8 +122,29 @@ def main(argv=None):
 
     dataset = CocoDataset(args.coco_path, args.eval_set)
     mesh = make_mesh()
-    eval_cfg = EvalConfig.exact(dataset.num_classes())
+    # "exact" must be judged against the MODEL's class space — sizing the
+    # per-anchor class cap off the dataset's 80 categories would leave a
+    # top-80-of-90 approximation inside the one tool whose contract is
+    # no approximations.
+    eval_cfg = EvalConfig.exact(cfg.num_classes)
     predict = make_sharded_predict_fn(model, mesh, eval_config=eval_cfg)
+
+    # Official automl checkpoints classify over the 90-id COCO space
+    # (category_id = label + 1); the dataset's own mapping is contiguous
+    # over its 80 actual categories. When the class counts differ, use the
+    # automl convention and drop labels whose id has no annotations.
+    label_to_cat = None
+    if cfg.num_classes != dataset.num_classes():
+        valid = set(dataset.cat_ids)
+        label_to_cat = {
+            lab: lab + 1 for lab in range(cfg.num_classes)
+            if (lab + 1) in valid
+        }
+        print(
+            f"label map: automl 90-id convention (label+1); "
+            f"{len(label_to_cat)}/{cfg.num_classes} labels have annotated "
+            f"categories", flush=True,
+        )
 
     # the sharded predict splits the batch over the data mesh axis; round
     # the batch up so it divides (partial final batches are padded anyway)
@@ -139,6 +160,7 @@ def main(argv=None):
         score_threshold=args.score_threshold,
         max_images=args.max_images,
         save_detections=args.save_detections,
+        label_to_cat=label_to_cat,
     )
     ap = 100.0 * stats.get("AP", float("nan"))
     paper = args.paper_ap if args.paper_ap is not None else PAPER_AP[args.phi]
