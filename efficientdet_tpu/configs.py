@@ -232,6 +232,16 @@ class TrainConfig:
     grad_accum_steps: int = 1
     ema_decay: float = 0.0
     freeze_backbone: bool = False
+    # Run the optimiser update over ONE flattened parameter vector
+    # (optax.flatten) instead of ~360 per-tensor leaves. The round-2 D0/b128
+    # device trace shows the leaf-wise Adam costing 26 ms/step (11% of the
+    # step) in hundreds of tiny f32[k] kLoop fusions whose roofline is
+    # ~0.2 ms — per-op fixed cost, not bandwidth. Mathematically identical
+    # for our chain (global-norm clip, uniform decay, Adam are all
+    # elementwise/global over the flat vector). Changes the opt_state
+    # PYTREE STRUCTURE: snapshots record this flag and restore paths match
+    # it (train.py resume + evaluate.py both consult train_config.json).
+    fused_optimizer: bool = True
     # lr schedule: 'constant' mirrors reference Adam(1e-3) + ReduceLROnPlateau
     # (plateau logic lives in the host loop); 'cosine' is the TPU-native path.
     lr_schedule: str = "constant"
@@ -248,6 +258,20 @@ class TrainConfig:
     # the host path is the reference-shaped default.
     device_augment: bool = False
     device_augment_color: bool = True
+
+
+def train_config_from_snapshot(saved_cfg) -> "TrainConfig":
+    """Rebuild the TrainConfig a snapshot was written with.
+
+    Restore paths must reproduce the snapshot's opt_state pytree structure
+    exactly (orbax refuses mismatches). Snapshots written before
+    ``fused_optimizer`` existed — or with no ``train_config.json`` at all —
+    have the old leaf-wise structure, so the field defaults to False here
+    (the dataclass default True applies only to NEW runs).
+    """
+    if saved_cfg is None:
+        return TrainConfig(fused_optimizer=False)
+    return TrainConfig(**{"fused_optimizer": False, **saved_cfg["train"]})
 
 
 @dataclasses.dataclass(frozen=True)

@@ -160,9 +160,9 @@ def main(argv=None):
     # a default-TrainConfig template cannot receive either (orbax rejects
     # mismatched pytrees). train.py persists its TrainConfig next to the
     # snapshots for exactly this reason.
-    tc = TrainConfig()
-    if saved_cfg is not None:
-        tc = TrainConfig(**saved_cfg["train"])
+    from efficientdet_tpu.configs import train_config_from_snapshot
+
+    tc = train_config_from_snapshot(saved_cfg)
     state = create_train_state(model, tc, jax.random.PRNGKey(0))
     state = CheckpointManager(args.snapshot).restore(state)
     params = (

@@ -5,12 +5,15 @@ script, SURVEY.md SS2 "Inference demo"). A TPU earns its keep at batch size,
 so this module adds the production-serving piece a user of the reference
 would otherwise hand-roll:
 
-* :class:`BatchingPredictor` — thread-safe micro-batching around ONE
-  compiled predict program: concurrent callers submit single images, a
-  collector thread packs them into a fixed-shape batch (padding partial
-  batches), runs the fused on-device pipeline (normalise -> forward ->
-  decode -> NMS), and resolves per-caller futures with boxes mapped back to
-  original image coordinates.
+* :class:`BatchingPredictor` — thread-safe PIPELINED micro-batching around
+  ONE compiled predict program: concurrent callers submit single images; a
+  dispatcher thread packs them into fixed-shape batches (padding partial
+  ones) and asynchronously dispatches the fused on-device pipeline
+  (normalise -> forward -> decode -> NMS); a resolver thread fetches
+  results and resolves per-caller futures with boxes mapped back to
+  original image coordinates. Device compute overlaps result transfer
+  (``pipeline_depth``), a bounded queue sheds overload, and crash guards
+  guarantee no caller ever hangs.
 * ``python -m efficientdet_tpu.serve`` — a minimal stdlib HTTP endpoint
   (POST /predict with a JPEG/PNG body -> JSON detections) wired to it.
 

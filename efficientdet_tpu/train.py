@@ -167,6 +167,27 @@ def main(argv=None):
         ema_decay=args.ema_decay,
         device_augment=args.device_augment,
     )
+    # Resuming: the snapshot's opt_state structure must win over this run's
+    # default (orbax refuses a mismatched pytree). Snapshots written before
+    # fused_optimizer existed are leaf-wise (False).
+    if args.snapshot and args.snapshot != "imagenet":
+        import dataclasses as _dc
+
+        snap_cfg = os.path.join(args.snapshot, "train_config.json")
+        saved_fused = False
+        if os.path.exists(snap_cfg):
+            with open(snap_cfg) as f:
+                saved_fused = json.load(f).get("train", {}).get(
+                    "fused_optimizer", False
+                )
+        if saved_fused != tc.fused_optimizer:
+            print(
+                f"snapshot opt_state is "
+                f"{'fused' if saved_fused else 'leaf-wise'}; matching "
+                f"fused_optimizer={saved_fused} for resume", flush=True,
+            )
+            tc = _dc.replace(tc, fused_optimizer=saved_fused)
+
     # Persist configs next to the snapshots: restore (evaluate.py, --snapshot
     # resume) must rebuild a TrainState template with the SAME structure
     # (MultiSteps opt_state, ema_params) or orbax refuses the pytree.

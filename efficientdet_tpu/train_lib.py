@@ -71,6 +71,14 @@ def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
         txs.append(optax.add_decayed_weights(config.weight_decay))
     txs.append(optax.adam(lr))
     tx = optax.chain(*txs)
+    if config.fused_optimizer:
+        # One flat update instead of ~360 leaf-wise kLoop fusions — see
+        # TrainConfig.fused_optimizer for the trace numbers. Outside-the-
+        # flatten wrappers (MultiSteps below, the freeze-backbone gradient
+        # zeroing and lr_scale multiply in make_train_step) all operate on
+        # tree-shaped updates, which optax.flatten preserves at the
+        # boundary.
+        tx = optax.flatten(tx)
     if config.grad_accum_steps > 1:
         # Micro-batching: accumulate k gradients before one Adam update, so
         # the effective batch is k * batch_size without k-times the

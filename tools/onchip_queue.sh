@@ -33,8 +33,14 @@ run_step bench_full 2400 python bench.py
 run_step approx_delta 2400 python tools/eval_approx_delta.py
 run_step approx_delta_adv 2400 python tools/eval_approx_delta.py --adversarial
 
-# 3. Staged experiment: D0 train b160 with stage-selective remat vs the
-#    524 img/s b128 record (ROADMAP #3; one compile).
+# 3. Staged experiments (one compile each):
+#    a. fused (flattened) optimizer at the b128 record config — the round-2
+#       trace showed leaf-wise Adam costing 26 ms of the 243 ms step;
+#       expectation: ~524 -> ~575 img/s/chip if the trace holds.
+run_step train_b128_fused 2400 python tools/bench_train.py --batch 128 \
+  --dtype bf16
+#    b. D0 train b160 with stage-selective remat vs the 524 img/s b128
+#       record (ROADMAP #3).
 run_step train_b160_sel 2400 python tools/bench_train.py --batch 160 \
   --dtype bf16 --remat --remat-max-stage 3
 
