@@ -120,7 +120,7 @@ def main(argv=None):
     import numpy as np
 
     import efficientdet_tpu as ed
-    from efficientdet_tpu.configs import EvalConfig, TrainConfig
+    from efficientdet_tpu.configs import EvalConfig
     from efficientdet_tpu.parallel import make_mesh, make_sharded_predict_fn
     from efficientdet_tpu.train_lib import create_train_state
     from efficientdet_tpu.utils.checkpoint import CheckpointManager
