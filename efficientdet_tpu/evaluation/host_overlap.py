@@ -21,12 +21,17 @@ _CC_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "cc")
 _LIB_PATH = os.path.join(_CC_DIR, "libcompute_overlap.so")
 
 _lib: Optional[ctypes.CDLL] = None
+_load_failed = False  # remember a failed build/load: compute_overlap runs
+# once per (image, class) in the VOC evaluator, and re-spawning `make` for
+# every call would turn the numpy-fallback path into a subprocess storm
 
 
 def _load() -> Optional[ctypes.CDLL]:
-    global _lib
+    global _lib, _load_failed
     if _lib is not None:
         return _lib
+    if _load_failed:
+        return None
     if not os.path.exists(_LIB_PATH):
         try:
             subprocess.run(
@@ -36,10 +41,12 @@ def _load() -> Optional[ctypes.CDLL]:
                 timeout=120,
             )
         except Exception:
+            _load_failed = True
             return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
+        _load_failed = True
         return None
     lib.compute_overlap_f64.argtypes = [
         ctypes.POINTER(ctypes.c_double),

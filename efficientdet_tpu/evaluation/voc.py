@@ -135,7 +135,9 @@ def evaluate_voc(
 
 
 def mean_ap(aps: Dict[int, Tuple[float, int]]) -> float:
-    """Weighted-by-presence mean AP over classes with annotations."""
+    """Unweighted mean AP over classes that have annotations (the
+    reference's default ``weighted_average=False`` semantics: each present
+    class counts equally, regardless of its annotation count)."""
     present = [(ap, n) for ap, n in aps.values() if n > 0]
     if not present:
         return 0.0

@@ -7,8 +7,13 @@ only. The reference smuggled the anchor state through an extra target
 channel; here it is an explicit ``anchor_state`` tensor in {-1, 0, 1}.
 
 Everything is jit/grad-compatible and batched: inputs carry a leading batch
-dimension and the normaliser is computed per image then averaged, matching
-the reference's per-image Keras loss reduction.
+dimension and the normaliser is the BATCH-GLOBAL positive-anchor count, as
+the reference computes it (keras-retinanet lineage: ``tf.gather_nd`` over
+the whole (B, A) tensor, then ``K.sum(loss) / max(1, total_positives)`` —
+Keras' final scalar mean is a no-op). An earlier revision normalised per
+image and averaged, which up-weights sparsely-annotated images relative to
+the reference (round-3 review finding); under pjit the global sum spans the
+whole sharded batch, so the semantics are shard-count-invariant either way.
 """
 
 from __future__ import annotations
@@ -26,7 +31,7 @@ def focal_loss(
     alpha: float = 0.25,
     gamma: float = 2.0,
 ) -> jax.Array:
-    """Sigmoid focal loss, normalised by #positive anchors per image.
+    """Sigmoid focal loss, normalised by the batch-total positive count.
 
     Args:
       cls_logits: (B, A, C) raw logits.
@@ -39,7 +44,7 @@ def focal_loss(
       anchor_state: (B, A) in {-1 ignore, 0 negative, 1 positive}.
     Returns scalar loss.
     """
-    num_pos = jnp.sum((anchor_state == 1.0).astype(jnp.float32), axis=1)  # (B,)
+    num_pos = jnp.sum((anchor_state == 1.0).astype(jnp.float32))  # scalar
     normalizer = jnp.maximum(num_pos, 1.0)
     include = (anchor_state != -1.0).astype(jnp.float32)  # ignore state -1
 
@@ -50,14 +55,13 @@ def focal_loss(
         per_image = _focal_sum(
             cls_logits, cls_targets.astype(jnp.int32), include, alpha, gamma
         )
-        return jnp.mean(per_image / normalizer)
+        return jnp.sum(per_image) / normalizer
 
     # Dense float one-hot targets: same elementwise formula via the shared
     # helper (one copy of the focal math for every caller).
     loss = _focal_elementwise(cls_logits, cls_targets, alpha, gamma)
     loss = loss * include[..., None]
-    per_image = jnp.sum(loss, axis=(1, 2)) / normalizer
-    return jnp.mean(per_image)
+    return jnp.sum(loss) / normalizer
 
 
 def smooth_l1_loss(
@@ -74,21 +78,11 @@ def smooth_l1_loss(
       anchor_state: (B, A).
     Returns scalar loss.
     """
-    box_preds = box_preds.astype(jnp.float32)
-    sigma_sq = sigma ** 2
-    diff = jnp.abs(box_preds - box_targets.astype(jnp.float32))
-    loss = jnp.where(
-        diff < 1.0 / sigma_sq,
-        0.5 * sigma_sq * diff ** 2,
-        diff - 0.5 / sigma_sq,
-    )  # (B, A, 4)
-
+    loss = _huber_elementwise(box_preds, box_targets, sigma)  # (B, A, 4)
     positive = (anchor_state == 1.0).astype(jnp.float32)
     loss = loss * positive[..., None]
-    num_pos = jnp.sum(positive, axis=1)
-    normalizer = jnp.maximum(num_pos, 1.0)
-    per_image = jnp.sum(loss, axis=(1, 2)) / normalizer
-    return jnp.mean(per_image)
+    normalizer = jnp.maximum(jnp.sum(positive), 1.0)  # batch-global
+    return jnp.sum(loss) / normalizer
 
 
 def _focal_elementwise(
@@ -227,7 +221,7 @@ def detection_loss_from_levels(
       num_anchors: anchors per cell (A).
     """
     bsz = anchor_state.shape[0]
-    num_pos = jnp.sum((anchor_state == 1.0).astype(jnp.float32), axis=1)
+    num_pos = jnp.sum((anchor_state == 1.0).astype(jnp.float32))  # scalar
     normalizer = jnp.maximum(num_pos, 1.0)
 
     def level_sums(cl, bl, off):
@@ -258,7 +252,7 @@ def detection_loss_from_levels(
         return cls_sum, box_sum, n
 
     # The focal term's backward is a hand-written fused elementwise pass
-    # (_focal_level_sum custom VJP) — no checkpoint needed; the remaining
+    # (the _focal_sum custom VJP) — no checkpoint needed; the remaining
     # huber autodiff residuals are (B,H,W,A,4)-sized, negligible.
     off = 0
     cls_total = jnp.zeros((bsz,), jnp.float32)
@@ -269,8 +263,8 @@ def detection_loss_from_levels(
         box_total = box_total + bsum
         off += cl.shape[1] * cl.shape[2] * num_anchors
 
-    cls_loss = jnp.mean(cls_total / normalizer)
-    box_loss = jnp.mean(box_total / normalizer)
+    cls_loss = jnp.sum(cls_total) / normalizer
+    box_loss = jnp.sum(box_total) / normalizer
     return cls_loss + box_loss, {"cls_loss": cls_loss, "box_loss": box_loss}
 
 

@@ -84,6 +84,13 @@ def filter_detections(
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Per-class NMS for one image.
 
+    This is the READABLE SPEC of the selection pipeline (reference
+    FilterDetections semantics, probability space, exact) — kept as a
+    standalone implementation on purpose: the tests use it and the numpy
+    oracle to pin the optimised production path
+    (:func:`batched_filter_from_logits`), so it must not share code with
+    the thing it checks.
+
     Args:
       boxes: (A, 4) decoded xyxy boxes.
       scores: (A, C) per-class sigmoid scores.
@@ -184,66 +191,29 @@ def filter_detections_from_logits(
     thresholding on scores (threshold mapped via logit(p)); sigmoid is then
     applied only to the K selected candidates, and box decode+clip runs only
     on the <=K candidate *anchors* instead of all A ~ 49k. Exactly the same
-    detections as decode-everything + :func:`filter_detections`, several
-    full-tensor passes cheaper (measured ~20% of D0 inference).
+    detections as decode-everything + :func:`filter_detections`.
+
+    Implemented as :func:`batched_filter_from_logits` at batch 1 with the
+    parity-EXACT preset (no per-anchor class cap, full-sort prefilter), so
+    the single-image demo path can never drift from the production batched
+    path — an earlier hand-rolled copy of the selection tail had already
+    missed two of its improvements (round-3 review finding).
 
     Args:
       anchors: (A, 4). box_deltas: (A, 4). cls_logits: (A, C).
       image_hw: clip extent.
     """
-    from efficientdet_tpu.anchors import clip_boxes, decode_boxes
-
-    num_anchors, num_classes = cls_logits.shape
-    logit_thr = _logit(score_threshold)
-
-    # Stay in the model dtype (bf16) through the max + gather — casting the
-    # full (A, C) tensor to f32 first materialises gigabytes at batch scale
-    # (measured ~2x NMS cost at batch 128). f32 only from the (K, C) slice on.
-    k_anchor = min(pre_nms_top_k, num_anchors)
-    anchor_best = jnp.max(cls_logits, axis=1).astype(jnp.float32)
-    _, top_anchor = jax.lax.top_k(anchor_best, k_anchor)
-    cand_logits = jnp.take(cls_logits, top_anchor, axis=0).astype(
-        jnp.float32
-    )  # (Ka, C)
-    cand_anchors = jnp.take(anchors.astype(jnp.float32), top_anchor, axis=0)
-    cand_deltas = jnp.take(box_deltas.astype(jnp.float32), top_anchor, axis=0)
-    cand_boxes_a = clip_boxes(decode_boxes(cand_deltas, cand_anchors), image_hw)
-
-    k = min(pre_nms_top_k, k_anchor * num_classes)
-    flat = cand_logits.reshape(-1)
-    flat = jnp.where(flat > logit_thr, flat, _NEG_INF)
-    top_logits, top_idx = jax.lax.top_k(flat, k)
-    pair_anchor = top_idx // num_classes
-    pair_class = (top_idx % num_classes).astype(jnp.int32)
-    cand_boxes = jnp.take(cand_boxes_a, pair_anchor, axis=0)
-    valid = top_logits > _NEG_INF / 2
-
-    ious = iou_matrix(cand_boxes, cand_boxes)
-    same_class = pair_class[:, None] == pair_class[None, :]
-    j_before_i = (
-        jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
-        < jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    config = EvalConfig.exact(
+        cls_logits.shape[-1],
+        score_threshold=score_threshold,
+        nms_iou_threshold=nms_iou_threshold,
+        max_detections=max_detections,
+        pre_nms_top_k=pre_nms_top_k,
     )
-    sup = (ious > nms_iou_threshold) & same_class & j_before_i
-    keep = _fixpoint_suppress(sup, valid)
-
-    kept_logits = jnp.where(keep, top_logits, _NEG_INF)
-    n_out = min(max_detections, k)
-    det_logits, det_idx = jax.lax.top_k(kept_logits, n_out)
-    if n_out < max_detections:
-        pad = max_detections - n_out
-        det_logits = jnp.pad(det_logits, (0, pad), constant_values=_NEG_INF)
-        det_idx = jnp.pad(det_idx, (0, pad))
-    det_valid = det_logits > _NEG_INF / 2
-    det_boxes = jnp.where(
-        det_valid[:, None], jnp.take(cand_boxes, det_idx, axis=0), 0.0
+    boxes, scores, classes, nvalid = batched_filter_from_logits(
+        anchors, box_deltas[None], cls_logits[None], image_hw, config
     )
-    det_classes = jnp.where(
-        det_valid, jnp.take(pair_class, det_idx, axis=0), jnp.int32(-1)
-    )
-    det_scores = jnp.where(det_valid, jax.nn.sigmoid(det_logits), -1.0)
-    num_valid = jnp.sum(det_valid.astype(jnp.int32))
-    return det_boxes, det_scores, det_classes, num_valid
+    return boxes[0], scores[0], classes[0], nvalid[0]
 
 
 def _anchor_topk_indices(anchor_best, k_anchor, config: EvalConfig):
@@ -273,8 +243,13 @@ def batched_filter_from_logits(
 ):
     """Natively-batched logit-space NMS (the production inference path).
 
-    Same semantics as vmapping :func:`filter_detections_from_logits`; the
-    suppression stage runs as the fused Pallas kernel
+    Semantics are governed by ``config``: the DEFAULT ``EvalConfig()``
+    applies the per-anchor class cap (``per_anchor_top_c``) and the
+    ``approx_max_k`` anchor prefilter — fast-serving approximations that
+    can differ from exact selection on adversarial inputs. Pass
+    ``EvalConfig.exact(num_classes)`` for reference-exact selection
+    (:func:`filter_detections_from_logits` is exactly that at batch 1).
+    The suppression stage runs as the fused Pallas kernel
     (ops/nms_pallas.py) on TPU backends (``use_pallas=None`` auto-detects),
     falling back to the XLA fixpoint elsewhere.
     """

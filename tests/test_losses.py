@@ -57,6 +57,42 @@ class TestFocal:
         assert abs(two - one) < 1e-6
 
 
+class TestBatchGlobalNormalization:
+    """Reference semantics (keras-retinanet lineage): ONE normaliser = the
+    batch-total positive count, NOT a per-image mean — an image with a
+    single object must not be up-weighted 9x against one with nine."""
+
+    def test_focal_uneven_positives_across_batch(self):
+        logit, c = 0.3, 1
+        p = sigmoid(logit)
+        per_anchor = 0.25 * (1 - p) ** 2 * -math.log(p)
+        # image 0: 1 positive anchor; image 1: 9 positive anchors
+        a = 9
+        logits = jnp.full((2, a, c), logit)
+        targets = jnp.ones((2, a, c))
+        state = jnp.stack([
+            jnp.asarray([1.0] + [-1.0] * (a - 1)),  # 1 pos, rest ignored
+            jnp.ones((a,)),                          # 9 pos
+        ])
+        got = float(focal_loss(logits, targets, state))
+        want = (1 + 9) * per_anchor / 10.0  # sum / total positives
+        assert abs(got - want) < 1e-6
+        # per-image-mean semantics would give mean(1*L/1, 9*L/9) = L
+        assert abs(got - per_anchor) > 1e-3 or abs(want - per_anchor) < 1e-9
+
+    def test_smooth_l1_uneven_positives_across_batch(self):
+        d = 2.0
+        per_anchor = (d - 0.5 / 9.0) * 4
+        preds = jnp.full((2, 3, 4), d)
+        targets = jnp.zeros((2, 3, 4))
+        state = jnp.stack([
+            jnp.asarray([1.0, 0.0, 0.0]),  # 1 positive
+            jnp.asarray([1.0, 1.0, 1.0]),  # 3 positives
+        ])
+        got = float(smooth_l1_loss(preds, targets, state))
+        assert abs(got - 4 * per_anchor / 4.0) < 1e-5  # sum/total, not mean
+
+
 class TestSmoothL1:
     def test_quadratic_region(self):
         sigma = 3.0

@@ -102,10 +102,15 @@ class TestCheckifyNms:
 
     def test_single_image_nms_index_checks(self):
         """Full single-image NMS (pair selection + suppression while-loop +
-        final gathers) under index + NaN checks. Single-image because
-        checkify cannot wrap vmapped while-loops; the batched path shares
-        the same index math via _pairs_and_suppress."""
-        from efficientdet_tpu.ops.nms import filter_detections_from_logits
+        final gathers) under index + NaN checks, via the standalone spec
+        implementation ``filter_detections`` — its selection/suppression
+        index math structurally mirrors the production batched path, but
+        its while-loop is unbatched, which checkify requires
+        (checkify-of-vmap-of-while is unsupported;
+        ``filter_detections_from_logits`` is now a batch-1 wrapper over the
+        batched path, so it can no longer be the checkify target)."""
+        from efficientdet_tpu.anchors import clip_boxes, decode_boxes
+        from efficientdet_tpu.ops.nms import filter_detections
 
         rng = np.random.RandomState(0)
         size, C = 128, 8
@@ -116,9 +121,12 @@ class TestCheckifyNms:
         deltas = jnp.asarray(0.1 * rng.randn(A, 4), jnp.float32)
         logits = jnp.asarray(2.0 * rng.randn(A, C), jnp.float32)
 
-        fn = lambda a, d, l: filter_detections_from_logits(
-            a, d, l, (size, size), pre_nms_top_k=256
-        )
+        def fn(a, d, l):
+            boxes = clip_boxes(decode_boxes(d, a), (size, size))
+            return filter_detections(
+                boxes, jax.nn.sigmoid(l), pre_nms_top_k=256
+            )
+
         checked = checkify.checkify(
             jax.jit(fn), errors=checkify.index_checks | checkify.nan_checks
         )
