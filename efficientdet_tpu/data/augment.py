@@ -104,25 +104,28 @@ def random_transform_matrix(
     config: TransformConfig = TransformConfig(),
 ) -> np.ndarray:
     c = config
-    m = rotation_matrix(rng.uniform(c.min_rotation, c.max_rotation))
     h, w = image_hw
+    # Draw order AND composition order both mirror the reference
+    # (keras-retinanet utils/transform.py random_transform):
+    # multi_dot([rotation, translation, shear, scaling, flip]) — i.e. the
+    # flip is applied to points FIRST and the rotation LAST, so the
+    # pixel-unit translation is never scaled or flipped. An earlier
+    # revision composed in application order (flip outermost), which
+    # silently shifted the augmentation distribution vs the reference
+    # (round-3 review finding).
+    r = rotation_matrix(rng.uniform(c.min_rotation, c.max_rotation))
     tx = rng.uniform(c.min_translation[0], c.max_translation[0]) * w
     ty = rng.uniform(c.min_translation[1], c.max_translation[1]) * h
-    m = translation_matrix(tx, ty) @ m
-    m = shear_matrix(rng.uniform(c.min_shear, c.max_shear)) @ m
-    m = (
-        scaling_matrix(
-            rng.uniform(c.min_scaling[0], c.max_scaling[0]),
-            rng.uniform(c.min_scaling[1], c.max_scaling[1]),
-        )
-        @ m
+    t = translation_matrix(tx, ty)
+    sh = shear_matrix(rng.uniform(c.min_shear, c.max_shear))
+    sc = scaling_matrix(
+        rng.uniform(c.min_scaling[0], c.max_scaling[0]),
+        rng.uniform(c.min_scaling[1], c.max_scaling[1]),
     )
-    m = (
-        flip_matrix(
-            rng.uniform() < c.flip_x_chance, rng.uniform() < c.flip_y_chance
-        )
-        @ m
+    f = flip_matrix(
+        rng.uniform() < c.flip_x_chance, rng.uniform() < c.flip_y_chance
     )
+    m = r @ t @ sh @ sc @ f
     return center_transform(m, image_hw)
 
 

@@ -144,13 +144,32 @@ def batch_iterator(
 
         pool = ThreadPoolExecutor(max_workers=workers)
 
+    # Aspect ratios are immutable per dataset: compute the sorted base
+    # order ONCE, not per epoch — the base implementation decodes the full
+    # image to get its ratio, so an in-loop recompute stalled every epoch
+    # start by n decodes (round-3 review finding).
+    aspect_base_order = None
+    if group_by_aspect:
+        ratios = np.asarray([dataset.image_aspect_ratio(i) for i in range(n)])
+        aspect_base_order = np.argsort(ratios, kind="stable")
+
+    def shard_evenly(arr):
+        """Strided shard with EQUAL length on every process.
+
+        ``arr[shard_index::shard_count]`` alone gives lengths differing by
+        one, so hosts would yield different batch counts and a collective
+        train/eval loop would desynchronise (one host enters a step the
+        others never join). Trimming to a multiple of shard_count drops
+        <= shard_count-1 trailing elements per epoch; shuffling rotates
+        which ones.
+        """
+        usable = (len(arr) // shard_count) * shard_count
+        return arr[:usable][shard_index::shard_count]
+
     def order():
         idx = np.arange(n)
         if group_by_aspect:
-            ratios = np.asarray(
-                [dataset.image_aspect_ratio(i) for i in range(n)]
-            )
-            idx = idx[np.argsort(ratios, kind="stable")]
+            idx = aspect_base_order.copy()
         if shuffle:
             if group_by_aspect:
                 # shuffle whole batches to keep aspect grouping
@@ -169,26 +188,28 @@ def batch_iterator(
                 groups = idx[: nb * batch_size].reshape(nb, batch_size)
                 tail = idx[nb * batch_size:]
                 idx = np.concatenate(
-                    [groups[shard_index::shard_count].reshape(-1),
-                     tail[shard_index::shard_count]]
+                    [shard_evenly(groups).reshape(-1), shard_evenly(tail)]
                 )
             else:
                 # strided, not contiguous: every shard sees the whole
                 # dataset's distribution within an epoch even when
                 # n % shard_count != 0
-                idx = idx[shard_index::shard_count]
+                idx = shard_evenly(idx)
         return idx
 
     while True:
         idx = order()
-        for start in range(0, n, batch_size):
+        for start in range(0, len(idx), batch_size):
             chunk = idx[start : start + batch_size]
             if len(chunk) < batch_size:
-                if drop_last:
+                if drop_last or len(chunk) == 0:
                     continue
-                chunk = np.concatenate(
-                    [chunk, chunk[: batch_size - len(chunk)]]
-                )  # wrap-pad
+                # wrap-pad: TILE the remainder up to a full batch — a
+                # single doubling under-fills whenever the remainder is
+                # less than half the batch (round-3 review finding,
+                # verified: n=10, B=8 yielded a length-4 final batch)
+                reps = -(-batch_size // len(chunk))
+                chunk = np.tile(chunk, reps)[:batch_size]
             images = np.zeros((batch_size, target_size, target_size, 3), np.uint8)
             gt_boxes = np.zeros((batch_size, max_gt, 4), np.float32)
             gt_labels = np.full((batch_size, max_gt), -1, np.int32)
@@ -288,12 +309,24 @@ def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
     q: "queue.Queue" = queue.Queue(maxsize=size)
     _END = object()
 
+    class _Raise:
+        """Carrier for a worker exception — re-raised in the consumer.
+
+        Without it, a mid-epoch error (e.g. one corrupt JPEG) killed the
+        worker thread, the finally-clause _END made the stream look like a
+        normal end-of-dataset, and training/eval silently stopped early
+        with exit code 0 (round-3 review finding)."""
+
+        def __init__(self, exc):
+            self.exc = exc
+
     def worker():
         try:
             for item in iterator:
                 q.put(item)
-        finally:
             q.put(_END)
+        except BaseException as e:  # noqa: BLE001 — must reach the consumer
+            q.put(_Raise(e))
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -301,4 +334,6 @@ def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
         item = q.get()
         if item is _END:
             break
+        if isinstance(item, _Raise):
+            raise item.exc
         yield item

@@ -67,8 +67,9 @@ def sample_transform_matrices(
 ) -> jax.Array:
     """(B, 3, 3) random affines about the visible-image centre.
 
-    Same composition order as the host ``random_transform_matrix``:
-    rotation → translation → shear → scaling → flip, conjugated by the
+    Same composition order as the host ``random_transform_matrix``
+    (reference multi_dot: rotation @ translation @ shear @ scaling @ flip,
+    so the flip acts on points first), conjugated by the
     centring translation. ``extents`` (B, 2) = (scaled_h, scaled_w) gives
     the visible-image extent inside each letterboxed canvas; the transform
     is conjugated about ITS centre (and translations scale with it), so a
@@ -117,7 +118,10 @@ def sample_transform_matrices(
     scl = mat([[sx, z, z], [z, sy, z], [z, z, o]])
     flp = mat([[fx, z, z], [z, fy, z], [z, z, o]])
 
-    m = flp @ scl @ shr @ trans @ rot
+    # Reference composition (multi_dot([rot, trans, shear, scale, flip])):
+    # flip applied to points FIRST, rotation LAST — must match the host
+    # random_transform_matrix exactly (equivalence tested).
+    m = rot @ trans @ shr @ scl @ flp
     hx, hy = 0.5 * ext_w, 0.5 * ext_h
     center = mat([[o, z, hx], [z, o, hy], [z, z, o]])
     uncenter = mat([[o, z, -hx], [z, o, -hy], [z, z, o]])

@@ -24,7 +24,7 @@ class CheckpointManager:
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=keep,
                 best_fn=(lambda m: m.get("mAP", 0.0)) if best_only else None,
-                best_mode="max" if best_only else "max",
+                best_mode="max",
             ),
         )
 
@@ -47,16 +47,23 @@ class CheckpointManager:
             return self._mgr.restore(
                 step, args=ocp.args.StandardRestore(state_template)
             )
-        except Exception:
+        except Exception as e:
             # Back-compat: snapshots written before TrainState grew the
             # lr_scale leaf have no such subtree; orbax rejects a template
             # with an extra leaf. Retry with a plain-dict template that
             # omits it, then backfill the template's value (1.0 = no
-            # plateau decay yet).
+            # plateau decay yet). Only THAT mismatch retries — an
+            # unrelated restore failure (corrupt snapshot, wrong model
+            # size) must surface its own error, not a confusing
+            # second-attempt one (round-3 review finding).
             import dataclasses
 
             lr = getattr(state_template, "lr_scale", None)
-            if lr is None or not dataclasses.is_dataclass(state_template):
+            if (
+                lr is None
+                or not dataclasses.is_dataclass(state_template)
+                or "lr_scale" not in str(e)
+            ):
                 raise
             slim = {
                 f.name: getattr(state_template, f.name)

@@ -133,26 +133,19 @@ def fold_bn_variables(variables: Dict[str, Any], eps: float = 1e-3) -> Dict[str,
     return out
 
 
-def _tree_np(tree: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
-    flat = {}
-    for k, v in tree.items():
-        key = f"{prefix}/{k}" if prefix else k
-        if isinstance(v, dict):
-            flat.update(_tree_np(v, key))
-        else:
-            flat[key] = v
-    return flat
+# "/"-joined views over convert.py's canonical tuple-key flatten/unflatten —
+# ONE pytree walker for the whole package (review: two parallel copies had
+# to be kept in sync by hand).
+def _tree_np(tree: Dict[str, Any]) -> Dict[str, Any]:
+    from efficientdet_tpu.utils.convert import _flatten
+
+    return {"/".join(k): v for k, v in _flatten(tree).items()}
 
 
 def _unflatten_np(flat: Dict[str, Any]) -> Dict[str, Any]:
-    tree: Dict[str, Any] = {}
-    for key, v in flat.items():
-        node = tree
-        parts = key.split("/")
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = v
-    return tree
+    from efficientdet_tpu.utils.convert import _unflatten
+
+    return _unflatten({tuple(k.split("/")): v for k, v in flat.items()})
 
 
 def _prune_empty(tree: Dict[str, Any]) -> Dict[str, Any]:

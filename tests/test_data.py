@@ -325,3 +325,88 @@ class TestShardedIterator:
                     )
                 )
             )
+
+
+class _FakeDataset:
+    """Minimal in-memory dataset with a controllable length (the pipeline
+    edge cases below need n >> the 2-image fixtures)."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def load_image(self, i):
+        return np.full((8, 10, 3), i % 255, np.uint8)
+
+    def load_annotations(self, i):
+        return np.zeros((0, 4), np.float32), np.zeros((0,), np.int32)
+
+    def filter_annotations(self, boxes, labels, hw):
+        return boxes, labels
+
+    def num_classes(self):
+        return 1
+
+    def image_aspect_ratio(self, i):
+        return 10 / 8
+
+
+class TestIteratorEdgeCases:
+    """Round-3 review regressions: wrap-pad shortfall, shard desync,
+    empty-chunk spin, prefetch exception swallowing."""
+
+    def test_wrap_pad_tiles_to_full_batch(self):
+        from efficientdet_tpu.data.common import batch_iterator
+
+        # remainder (2) < batch_size/2 (4): a single doubling used to
+        # yield a length-4 final batch
+        batches = list(
+            batch_iterator(_FakeDataset(10), 8, target_size=16,
+                           shuffle=False, drop_last=False)
+        )
+        assert len(batches) == 2
+        for b in batches:
+            assert b["indices"].shape == (8,)
+            assert b["scales"].shape == (8,)
+            assert b["images"].shape == (8, 16, 16, 3)
+        # the final batch tiles the 2-element remainder
+        assert sorted(set(batches[-1]["indices"].tolist())) == [8, 9]
+
+    def test_shards_yield_equal_batch_counts(self):
+        from efficientdet_tpu.data.common import batch_iterator
+
+        # n=47, 2 shards: naive striding gives 24 vs 23 elements ->
+        # 3 vs 2 full batches and a desynchronised collective loop
+        counts = []
+        for si in range(2):
+            counts.append(len(list(batch_iterator(
+                _FakeDataset(47), 8, target_size=16, shuffle=True, seed=5,
+                shard_index=si, shard_count=2, drop_last=True,
+            ))))
+        assert counts[0] == counts[1] > 0
+
+    def test_sharded_epoch_has_no_empty_or_short_batches(self):
+        from efficientdet_tpu.data.common import batch_iterator
+
+        for si in range(4):
+            batches = list(batch_iterator(
+                _FakeDataset(20), 4, target_size=16, shuffle=False,
+                shard_index=si, shard_count=4, drop_last=False,
+            ))
+            assert len(batches) == 2  # 5 local elements -> 4 + wrap-pad(1)
+            for b in batches:
+                assert b["indices"].shape == (4,)
+
+    def test_prefetch_propagates_worker_exception(self):
+        from efficientdet_tpu.data.common import prefetch
+
+        def boom():
+            yield {"ok": 1}
+            raise ValueError("corrupt record")
+
+        it = prefetch(boom(), size=2)
+        assert next(it)["ok"] == 1
+        with pytest.raises(ValueError, match="corrupt record"):
+            next(it)
