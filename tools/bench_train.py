@@ -33,6 +33,10 @@ def main():
     p.add_argument("--remat-max-stage", type=int, default=7,
                    help="backbone stages above this are saved, not rematted")
     p.add_argument("--grad-accum-steps", type=int, default=1)
+    p.add_argument("--no-fused-optimizer", action="store_true",
+                   help="leaf-wise Adam instead of the optax.flatten'd "
+                   "single-vector update (A/B for the optimiser tax, "
+                   "docs/DESIGN.md 6f)")
     p.add_argument("--trace", default=None,
                    help="directory: capture a jax.profiler trace of the "
                    "timed steps")
@@ -54,7 +58,8 @@ def main():
     )
     size = cfg.image_size
     tc = TrainConfig(batch_size=args.batch, max_gt_boxes=args.max_gt,
-                     grad_accum_steps=args.grad_accum_steps)
+                     grad_accum_steps=args.grad_accum_steps,
+                     fused_optimizer=not args.no_fused_optimizer)
 
     mesh = make_mesh()
     state = create_train_state(model, tc, jax.random.PRNGKey(0))
