@@ -30,6 +30,10 @@ run_step() {  # name timeout_s cmd...
 
 run_step train_b128_nofused 2400 python tools/bench_train.py --batch 128 \
   --dtype bf16 --no-fused-optimizer
+# b160 with remat_max_stage=3 OOM'd by just 56M (15.80/15.75G hbm);
+# remat stage 4 as well to free its saved activations and retry.
+run_step train_b160_sel4 2400 python tools/bench_train.py --batch 160 \
+  --dtype bf16 --remat --remat-max-stage 4
 run_step train_b128_fused_trace 2400 python tools/bench_train.py --batch 128 \
   --dtype bf16 --trace "$LOG/b128_fused_trace"
 
