@@ -234,14 +234,19 @@ class TrainConfig:
     freeze_backbone: bool = False
     # Run the optimiser update over ONE flattened parameter vector
     # (optax.flatten) instead of ~360 per-tensor leaves. The round-2 D0/b128
-    # device trace shows the leaf-wise Adam costing 26 ms/step (11% of the
+    # device trace showed the leaf-wise Adam costing 26 ms/step (11% of the
     # step) in hundreds of tiny f32[k] kLoop fusions whose roofline is
     # ~0.2 ms — per-op fixed cost, not bandwidth. Mathematically identical
     # for our chain (global-norm clip, uniform decay, Adam are all
-    # elementwise/global over the flat vector). Changes the opt_state
-    # PYTREE STRUCTURE: snapshots record this flag and restore paths match
-    # it (train.py resume + evaluate.py both consult train_config.json).
-    fused_optimizer: bool = True
+    # elementwise/global over the flat vector). MEASURED A/B on-chip
+    # (round 3, D0/b128 bf16): leaf-wise 524.9 img/s vs flattened 497.2 —
+    # the per-step ravel+concat of every grad leaf and split+reshape of
+    # every update costs MORE fixed-overhead ops than the single big Adam
+    # saves (docs/DESIGN.md 6f). Default False (leaf-wise); the flag stays
+    # because it changes the opt_state PYTREE STRUCTURE: snapshots record
+    # it and restore paths match it (train.py resume + evaluate.py both
+    # consult train_config.json).
+    fused_optimizer: bool = False
     # lr schedule: 'constant' mirrors reference Adam(1e-3) + ReduceLROnPlateau
     # (plateau logic lives in the host loop); 'cosine' is the TPU-native path.
     lr_schedule: str = "constant"
@@ -267,7 +272,7 @@ def train_config_from_snapshot(saved_cfg) -> "TrainConfig":
     exactly (orbax refuses mismatches). Snapshots written before
     ``fused_optimizer`` existed — or with no ``train_config.json`` at all —
     have the old leaf-wise structure, so the field defaults to False here
-    (the dataclass default True applies only to NEW runs).
+    explicitly rather than trusting the dataclass default.
     """
     if saved_cfg is None:
         return TrainConfig(fused_optimizer=False)

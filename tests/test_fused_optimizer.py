@@ -1,8 +1,10 @@
 """fused_optimizer (optax.flatten over the update chain) — fast tier.
 
-The flag changes the opt_state pytree structure for a ~26 ms/step win at
-D0/b128 (leaf-wise Adam ran as hundreds of tiny kLoop fusions; see
-TrainConfig.fused_optimizer). These tests pin that the flattened chain is
+The flag changes the opt_state pytree structure. It was built to remove
+the ~26 ms/step leaf-wise Adam tax at D0/b128, but the on-chip A/B
+measured the flatten/unflatten copies costing MORE (497 vs 525 img/s), so
+it defaults OFF (docs/DESIGN.md 6f). These tests pin that the flattened
+chain is
 mathematically IDENTICAL to the leaf-wise one across every chain variant
 we ship, and that the structure contract (flat vector state) holds.
 """
@@ -94,7 +96,8 @@ def test_fused_state_is_flat():
 def test_snapshot_compat_rule():
     """Restore paths must reproduce the snapshot's opt_state structure:
     absent config or absent field -> leaf-wise (pre-flag snapshots); the
-    field wins when present; new runs default to fused."""
+    field wins when present. New runs default leaf-wise too — the on-chip
+    A/B measured flatten 5% SLOWER (docs/DESIGN.md 6f)."""
     from efficientdet_tpu.configs import train_config_from_snapshot
 
     assert train_config_from_snapshot(None).fused_optimizer is False
@@ -104,7 +107,7 @@ def test_snapshot_compat_rule():
     assert train_config_from_snapshot(
         {"train": {"batch_size": 4, "fused_optimizer": True}}
     ).fused_optimizer is True
-    assert TrainConfig().fused_optimizer is True
+    assert TrainConfig().fused_optimizer is False
 
 
 def test_updates_stay_tree_shaped():
