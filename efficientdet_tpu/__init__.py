@@ -44,3 +44,4 @@ from efficientdet_tpu.models import (
     efficientdet_d7,
 )
 from efficientdet_tpu.models.detector import make_predict_fn, predict_pipeline
+from efficientdet_tpu.export import load_exported, save_exported

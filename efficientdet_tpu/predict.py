@@ -75,8 +75,8 @@ class Predictor:
 
     @classmethod
     def from_checkpoint(cls, path: str, **kwargs) -> "Predictor":
-        """Load weights from either a params-only checkpoint (save_params /
-        utils.export) or a train.py snapshot directory (CheckpointManager
+        """Load weights from either a params-only checkpoint (save_params)
+        or a train.py snapshot directory (CheckpointManager
         layout with numbered steps — params + batch_stats are partially
         restored, no optimizer template needed), so `train.py
         --snapshot-path DIR` then `predict.py --checkpoint DIR` just works.

@@ -1,103 +1,87 @@
-"""Serving-artifact export tests (utils/export.py).
+"""AOT export artifact (efficientdet_tpu/export.py) — fast tier.
 
-The reference ships trained detectors as .h5 prediction models reloadable
-without the training code (SURVEY.md §3.2); here the analog is a jax.export
-StableHLO artifact with params baked in. These tests pin the contract:
-round-trip through real serialized bytes, bit-identical detections, and no
-dependence on the model-building code at load time.
+The artifact must reproduce the live predict path exactly (same program,
+weights as inputs), carry a manifest the serving host can trust, and
+reject artifacts newer than the loader.
 """
 
-import numpy as np
-import pytest
+import json
+import zipfile
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+import pytest
 
-from efficientdet_tpu.configs import EvalConfig, ModelConfig
-from efficientdet_tpu.models.detector import EfficientDet, predict_pipeline
-from efficientdet_tpu.utils.export import (
-    export_predictor,
-    load_serving_fn,
+from efficientdet_tpu.export import (
+    FORMAT_VERSION,
+    load_exported,
     save_exported,
 )
+from efficientdet_tpu.models.detector import fuse_for_inference, make_predict_fn
 
 
 @pytest.fixture(scope="module")
-def tiny(slim_d0):
-    # the shared session detector (conftest): slim BiFPN/heads — export
-    # tracing cost scales with module count and the contract under test
-    # (serialize/deserialize/baked params) doesn't
-    model, _, variables = slim_d0
-    return model, variables
+def artifact(slim_d0, tmp_path_factory):
+    model, cfg, variables = slim_d0
+    path = str(tmp_path_factory.mktemp("export") / "slim_d0.edz")
+    manifest = save_exported(path, model, variables, batch_size=2)
+    return path, manifest, model, variables
 
 
-def _batch(b=2, size=128, seed=0):
-    rng = np.random.RandomState(seed)
-    return rng.randint(0, 256, (b, size, size, 3)).astype(np.uint8)
+def test_roundtrip_matches_live_predict(artifact):
+    path, _, model, variables = artifact
+    images = jnp.asarray(
+        np.random.RandomState(0).randint(0, 256, (2, 128, 128, 3)), jnp.uint8
+    )
+
+    predict, manifest = load_exported(path)
+    boxes, scores, classes, n = predict(images)
+
+    fused_model, fused_vars = fuse_for_inference(model, variables)
+    ref = make_predict_fn(fused_model)(fused_vars, images)
+
+    np.testing.assert_allclose(np.asarray(boxes), np.asarray(ref[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(ref[1]), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(classes), np.asarray(ref[2]))
+    np.testing.assert_array_equal(np.asarray(n), np.asarray(ref[3]))
+    assert boxes.shape[0] == 2 and boxes.shape[2] == 4
 
 
-class TestExportRoundTrip:
-    def test_detections_match_live_pipeline(self, tiny, tmp_path):
-        model, variables = tiny
-        ec = EvalConfig(max_detections=20)
-        exported = export_predictor(
-            model, variables, eval_config=ec, batch_size=2
-        )
-        path = str(tmp_path / "d0_tiny.jaxexp")
-        save_exported(exported, path)
+def test_manifest_records_model_identity(artifact):
+    path, manifest, model, _ = artifact
+    assert manifest["format_version"] == FORMAT_VERSION
+    assert manifest["model"]["phi"] == 0
+    assert manifest["model"]["num_classes"] == model.config.num_classes
+    assert manifest["model"]["image_size"] == 128
+    assert manifest["batch_size"] == 2
+    assert manifest["fused_bn"] is True
+    # Weights ride as inputs: every leaf is listed with dtype+shape.
+    assert len(manifest["variables"]) > 50
+    # And the loader reads the same manifest out of the zip.
+    with zipfile.ZipFile(path) as zf:
+        on_disk = json.loads(zf.read("manifest.json"))
+    assert on_disk["model"] == manifest["model"]
 
-        fn = load_serving_fn(path)
-        images = _batch()
-        got = fn(images)
-        want = jax.jit(
-            lambda im: predict_pipeline(model, variables, im, ec)
-        )(images)
-        for g, w, name in zip(got, want, ("boxes", "scores", "classes", "n")):
-            np.testing.assert_array_equal(
-                np.asarray(g), np.asarray(w), err_msg=name
-            )
 
-    @pytest.mark.slow  # compile-heavy: full-tier only
-    def test_load_needs_no_model_code(self, tiny, tmp_path):
-        """The artifact rehydrates via jax.export.deserialize alone."""
-        model, variables = tiny
-        path = str(tmp_path / "art.jaxexp")
-        save_exported(
-            export_predictor(model, variables, batch_size=1), path
-        )
-        with open(path, "rb") as f:
-            exported = jax.export.deserialize(f.read())
-        assert exported.in_avals[0].shape == (1, 128, 128, 3)
-        b, s, c, n = jax.jit(exported.call)(_batch(b=1))
-        assert b.shape[0] == 1 and n.dtype == jnp.int32
+def test_loader_rejects_newer_format(artifact, tmp_path):
+    path, _, _, _ = artifact
+    newer = tmp_path / "newer.edz"
+    with zipfile.ZipFile(path) as src, zipfile.ZipFile(newer, "w") as dst:
+        for name in src.namelist():
+            data = src.read(name)
+            if name == "manifest.json":
+                m = json.loads(data)
+                m["format_version"] = FORMAT_VERSION + 1
+                data = json.dumps(m)
+            dst.writestr(name, data)
+    with pytest.raises(ValueError, match="newer than this loader"):
+        load_exported(str(newer))
 
-    def test_batch_size_is_static(self, tiny):
-        model, variables = tiny
-        exported = export_predictor(model, variables, batch_size=2)
-        with pytest.raises(ValueError):
-            jax.jit(exported.call)(_batch(b=3))
 
-    @pytest.mark.slow  # compile-heavy: full-tier only
-    def test_params_are_baked_in(self, tiny):
-        """Different weights -> different serialized programs (constants,
-        not arguments): the artifact is self-contained."""
-        model, variables = tiny
-        v2 = jax.tree.map(lambda x: x + 1e-2, variables)
-        a = export_predictor(model, variables, batch_size=1).serialize()
-        b = export_predictor(model, v2, batch_size=1).serialize()
-        assert a != b
-
-    @pytest.mark.slow  # compile-heavy: full-tier only
-    def test_cli_writes_artifact(self, tmp_path):
-        from efficientdet_tpu.utils.export import main
-
-        out = str(tmp_path / "cli.jaxexp")
-        main(
-            [
-                "--phi", "0", "--image-size", "128", "--num-classes", "4",
-                "--batch-size", "1", "--dtype", "f32", "--output", out,
-            ]
-        )
-        fn = load_serving_fn(out)
-        boxes, scores, classes, n = fn(_batch(b=1))
-        assert boxes.shape == (1, 100, 4)
+def test_wrong_batch_shape_is_rejected(artifact):
+    path, _, _, _ = artifact
+    predict, _ = load_exported(path)
+    bad = jnp.zeros((3, 128, 128, 3), jnp.uint8)  # exported batch is 2
+    with pytest.raises(Exception):
+        jax.block_until_ready(predict(bad))
