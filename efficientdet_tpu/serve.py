@@ -76,6 +76,7 @@ class BatchingPredictor:
 
         self.model = model
         self.variables = variables
+        self.manifest = None
         self.batch_size = batch_size
         self.max_delay = max_delay_ms / 1e3
         self.size = model.config.image_size
@@ -83,8 +84,47 @@ class BatchingPredictor:
         self._predict = jax.jit(
             lambda v, im: predict_pipeline(model, v, im, ec)
         )
+        self._start_runtime(max_pending, pipeline_depth)
+
+    @classmethod
+    def from_artifact(
+        cls,
+        path: str,
+        max_delay_ms: float = 5.0,
+        max_pending: Optional[int] = None,
+        pipeline_depth: int = 2,
+    ) -> "BatchingPredictor":
+        """Serve directly from a one-file ``.edz`` export artifact.
+
+        The artifact (``efficientdet_tpu.export.save_exported``) carries the
+        compiled predict program, its weights, and the eval config — no
+        model build, checkpoint restore, or BN folding happens on the
+        serving host, and ``batch_size`` / image size come from the
+        manifest (the exported program's batch is static).
+        """
+        from efficientdet_tpu.export import load_exported
+
+        predict, manifest = load_exported(path)
+        if not manifest.get("preprocess", True):
+            raise ValueError(
+                "artifact was exported with preprocess=False; the serving "
+                "path submits uint8 letterboxed canvases — re-export with "
+                "preprocess=True"
+            )
+        self = cls.__new__(cls)
+        self.model = None
+        self.variables = None  # weights live inside the loaded closure
+        self.manifest = manifest
+        self.batch_size = int(manifest["batch_size"])
+        self.max_delay = max_delay_ms / 1e3
+        self.size = int(manifest["model"]["image_size"])
+        self._predict = lambda _vars, images: predict(images)
+        self._start_runtime(max_pending, pipeline_depth)
+        return self
+
+    def _start_runtime(self, max_pending, pipeline_depth):
         if max_pending is None:
-            max_pending = 32 * batch_size
+            max_pending = 32 * self.batch_size
         self._queue: "queue.Queue" = queue.Queue(maxsize=max_pending or 0)
         # dispatched-but-unfetched batches; its bound IS the pipeline depth
         self._inflight_q: "queue.Queue" = queue.Queue(
@@ -329,6 +369,13 @@ def main(argv=None):
     import jax.numpy as jnp
 
     p = argparse.ArgumentParser(description="Serve an EfficientDet model.")
+    p.add_argument(
+        "--edz",
+        default=None,
+        help="serve from a one-file .edz export artifact (export.py); "
+        "--phi/--checkpoint/--num-classes/--batch-size/--score-threshold "
+        "are then taken from the artifact manifest and ignored here",
+    )
     p.add_argument("--phi", type=int, default=0, choices=range(8))
     p.add_argument("--checkpoint", default=None, help="orbax params dir")
     p.add_argument("--num-classes", type=int, default=90)
@@ -338,28 +385,34 @@ def main(argv=None):
     p.add_argument("--score-threshold", type=float, default=0.3)
     args = p.parse_args(argv)
 
-    import efficientdet_tpu as ed
-    from efficientdet_tpu.configs import EvalConfig
-    from efficientdet_tpu.models.detector import fuse_for_inference
+    if args.edz:
+        predictor = BatchingPredictor.from_artifact(
+            args.edz, max_delay_ms=args.max_delay_ms
+        )
+    else:
+        import efficientdet_tpu as ed
+        from efficientdet_tpu.configs import EvalConfig
+        from efficientdet_tpu.models.detector import fuse_for_inference
 
-    model, cfg = ed.build_efficientdet(
-        args.phi, num_classes=args.num_classes, dtype=jnp.bfloat16
-    )
-    variables = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
-    )
-    if args.checkpoint:
-        from efficientdet_tpu.utils.checkpoint import load_params
+        model, cfg = ed.build_efficientdet(
+            args.phi, num_classes=args.num_classes, dtype=jnp.bfloat16
+        )
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.image_size, cfg.image_size, 3)),
+        )
+        if args.checkpoint:
+            from efficientdet_tpu.utils.checkpoint import load_params
 
-        variables = load_params(args.checkpoint, variables)
-    model, variables = fuse_for_inference(model, variables)
-    predictor = BatchingPredictor(
-        model,
-        variables,
-        batch_size=args.batch_size,
-        max_delay_ms=args.max_delay_ms,
-        eval_config=EvalConfig(score_threshold=args.score_threshold),
-    )
+            variables = load_params(args.checkpoint, variables)
+        model, variables = fuse_for_inference(model, variables)
+        predictor = BatchingPredictor(
+            model,
+            variables,
+            batch_size=args.batch_size,
+            max_delay_ms=args.max_delay_ms,
+            eval_config=EvalConfig(score_threshold=args.score_threshold),
+        )
 
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):

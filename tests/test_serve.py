@@ -333,3 +333,43 @@ class TestBatchingPredictor:
             np.asarray(b[0])[:n] / scale, boxes, atol=1e-4
         )
         np.testing.assert_array_equal(np.asarray(c[0])[:n], classes)
+
+    def test_from_artifact_matches_direct_pipeline(self, tmp_path):
+        """Serving from a .edz artifact == the live fused predict path."""
+        from efficientdet_tpu.configs import EvalConfig
+        from efficientdet_tpu.data.common import letterbox_hostside
+        from efficientdet_tpu.export import save_exported
+        from efficientdet_tpu.models.detector import (
+            fuse_for_inference,
+            predict_pipeline,
+        )
+
+        model = tiny_model()
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3))
+        )
+        path = str(tmp_path / "tiny.edz")
+        ec = EvalConfig()
+        save_exported(path, model, variables, batch_size=2, eval_config=ec)
+
+        pred = BatchingPredictor.from_artifact(path, max_delay_ms=1.0)
+        img = np.random.RandomState(1).randint(0, 255, (90, 128, 3), np.uint8)
+        try:
+            # geometry comes from the manifest, not caller flags
+            assert pred.batch_size == 2 and pred.size == 128
+            assert pred.manifest["model"]["phi"] == 0
+            boxes, scores, classes = pred.predict_sync(img, timeout=300)
+        finally:
+            pred.close()
+
+        fmodel, fvars = fuse_for_inference(model, variables)
+        canvas, scale = letterbox_hostside(img, 128)
+        b, s, c, n = predict_pipeline(
+            fmodel, fvars, jnp.asarray(canvas[None]), ec
+        )
+        n = int(n[0])
+        np.testing.assert_allclose(np.asarray(s[0])[:n], scores, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(b[0])[:n] / scale, boxes, atol=1e-4
+        )
+        np.testing.assert_array_equal(np.asarray(c[0])[:n], classes)
