@@ -33,7 +33,12 @@ import time
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
 D0_BASELINE_IMG_S_PER_CHIP = 250.0  # 2000 img/s on 8 chips
-D4_BASELINE_IMG_S_PER_CHIP = 209.0  # round-1 measured (README)
+# NOTE: the reference has no D4 TPU number, so this baseline is the REPO'S
+# OWN round-1 record (208.7 img/s/chip, README) — i.e. D4 vs_baseline is a
+# self-regression guard, not a reference comparison; measurement noise of
+# a few tenths of a percent around 1.0 is expected (r03 printed 0.9967).
+# The emitted JSON carries baseline_kind="self_round1_record" to say so.
+D4_BASELINE_IMG_S_PER_CHIP = 208.7  # round-1 measured best (README)
 V5E_BF16_PEAK_FLOPS = 197e12  # per chip
 
 
@@ -205,6 +210,11 @@ def bench_phi(phi, batch, steps, warmup, dtype_name, trace_dir=None,
         "unit": "img/s/chip",
         "vs_baseline": round(img_s_per_chip / baseline, 4),
     }
+    if phi != 0:
+        # vs_baseline here compares against the repo's OWN best (the
+        # reference has no TPU number at this phi) — a parser treating
+        # <1.0 as regression should allow noise (see constant above).
+        record["baseline_kind"] = "self_round1_record"
     print(json.dumps(record), flush=True)
     return record
 

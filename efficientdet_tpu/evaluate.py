@@ -95,10 +95,11 @@ def resolve_model_args(saved_cfg, phi, weighted, image_size, num_classes):
         return phi, weighted, image_size
     m = saved_cfg["model"]
     if m.get("phi") is not None and m["phi"] != phi:
-        print(
-            f"WARNING: snapshot was trained with phi={m['phi']}; "
-            f"using it over --phi {phi}", flush=True,
-        )
+        if phi is not None:  # unset CLI phi is a fallback, not an override
+            print(
+                f"WARNING: snapshot was trained with phi={m['phi']}; "
+                f"using it over --phi {phi}", flush=True,
+            )
         phi = m["phi"]
     if weighted is None:
         weighted = m.get("weighted_bifpn")

@@ -302,6 +302,18 @@ def main(argv=None):
         saved_cfg, args.phi, args.weighted_bifpn, args.image_size,
         args.num_classes,
     )
+    if phi is None:
+        # Neither --phi nor a snapshot train_config.json supplied the model
+        # scale — fail with a usable CLI error instead of an opaque KeyError
+        # inside ModelConfig.for_phi(None).
+        raise SystemExit(
+            "error: no model scale: pass --phi 0..7, or --snapshot with a "
+            "train_config.json that records phi"
+            + (
+                f" ({args.snapshot}/train_config.json is missing or has no "
+                "model.phi)" if args.snapshot else ""
+            )
+        )
     model, cfg = ed.build_efficientdet(
         phi,
         num_classes=args.num_classes,

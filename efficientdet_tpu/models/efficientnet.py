@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from efficientdet_tpu.configs import (
-    EFFICIENTNET_B0_BLOCKS,
+    BACKBONE_BLOCK_TABLES,
     EFFICIENTNET_PARAMS,
     BlockConfig,
     round_filters,
@@ -185,6 +185,7 @@ class EfficientNet(nn.Module):
         if use_running_average is None:
             use_running_average = not train
         width, depth, _ = EFFICIENTNET_PARAMS[self.model_name]
+        block_table = BACKBONE_BLOCK_TABLES[self.model_name]
 
         def bn(name):
             if self.fuse_bn:
@@ -198,7 +199,9 @@ class EfficientNet(nn.Module):
 
         x = images.astype(self.dtype)
         x = nn.Conv(
-            round_filters(32, width), (3, 3), strides=(2, 2), padding="SAME",
+            # Stem width == first block's input width (32 for B0..B7).
+            round_filters(block_table[0].input_filters, width),
+            (3, 3), strides=(2, 2), padding="SAME",
             use_bias=self.fuse_bn, kernel_init=conv_kernel_init,
             dtype=self.dtype, name="stem_conv",
         )(x)
@@ -206,14 +209,14 @@ class EfficientNet(nn.Module):
         x = nn.swish(x)
 
         total_blocks = sum(
-            round_repeats(b.num_repeat, depth) for b in EFFICIENTNET_B0_BLOCKS
+            round_repeats(b.num_repeat, depth) for b in block_table
         )
         drop_rate = 1.0 - self.survival_prob
         # (self, x, train, use_running_average) -> statics are argnums 2, 3.
         RematBlock = nn.remat(MBConvBlock, static_argnums=(2, 3))
         taps = {}
         block_idx = 0
-        for stage_idx, block_cfg in enumerate(EFFICIENTNET_B0_BLOCKS):
+        for stage_idx, block_cfg in enumerate(block_table):
             Block = (
                 RematBlock
                 if self.remat and stage_idx + 1 <= self.remat_max_stage

@@ -358,61 +358,14 @@ class BatchingPredictor:
             self._resolving = None
 
 
-def main(argv=None):
-    """Minimal HTTP serving CLI: POST an image to /predict -> JSON."""
-    import argparse
+def make_http_handler(predictor, max_request_mb: float = 32.0):
+    """Build the stdlib request handler for ``main`` (factored out so the
+    error paths — 404/413/400/503 — are testable without a model)."""
     import io
     import json
-    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from http.server import BaseHTTPRequestHandler
 
-    import jax
-    import jax.numpy as jnp
-
-    p = argparse.ArgumentParser(description="Serve an EfficientDet model.")
-    p.add_argument(
-        "--edz",
-        default=None,
-        help="serve from a one-file .edz export artifact (export.py); "
-        "--phi/--checkpoint/--num-classes/--batch-size/--score-threshold "
-        "are then taken from the artifact manifest and ignored here",
-    )
-    p.add_argument("--phi", type=int, default=0, choices=range(8))
-    p.add_argument("--checkpoint", default=None, help="orbax params dir")
-    p.add_argument("--num-classes", type=int, default=90)
-    p.add_argument("--port", type=int, default=8000)
-    p.add_argument("--batch-size", type=int, default=8)
-    p.add_argument("--max-delay-ms", type=float, default=5.0)
-    p.add_argument("--score-threshold", type=float, default=0.3)
-    args = p.parse_args(argv)
-
-    if args.edz:
-        predictor = BatchingPredictor.from_artifact(
-            args.edz, max_delay_ms=args.max_delay_ms
-        )
-    else:
-        import efficientdet_tpu as ed
-        from efficientdet_tpu.configs import EvalConfig
-        from efficientdet_tpu.models.detector import fuse_for_inference
-
-        model, cfg = ed.build_efficientdet(
-            args.phi, num_classes=args.num_classes, dtype=jnp.bfloat16
-        )
-        variables = model.init(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1, cfg.image_size, cfg.image_size, 3)),
-        )
-        if args.checkpoint:
-            from efficientdet_tpu.utils.checkpoint import load_params
-
-            variables = load_params(args.checkpoint, variables)
-        model, variables = fuse_for_inference(model, variables)
-        predictor = BatchingPredictor(
-            model,
-            variables,
-            batch_size=args.batch_size,
-            max_delay_ms=args.max_delay_ms,
-            eval_config=EvalConfig(score_threshold=args.score_threshold),
-        )
+    max_request_bytes = int(max_request_mb * 1e6)
 
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):
@@ -420,10 +373,21 @@ def main(argv=None):
                 self.send_error(404)
                 return
             length = int(self.headers.get("Content-Length", 0))
+            if length > max_request_bytes:
+                self.send_error(
+                    413, f"request body exceeds {max_request_mb} MB"
+                )
+                return
             body = self.rfile.read(length)
             from PIL import Image
 
-            img = np.asarray(Image.open(io.BytesIO(body)).convert("RGB"))
+            try:
+                img = np.asarray(Image.open(io.BytesIO(body)).convert("RGB"))
+            except Exception:
+                # malformed/truncated body must be a 400, not a raw 500
+                # traceback from inside PIL
+                self.send_error(400, "body is not a decodable image")
+                return
             try:
                 boxes, scores, classes = predictor.predict_sync(img)
             except PredictorOverloaded:
@@ -450,8 +414,113 @@ def main(argv=None):
         def log_message(self, *a):  # quiet
             pass
 
+    return Handler
+
+
+def main(argv=None):
+    """Minimal HTTP serving CLI: POST an image to /predict -> JSON."""
+    import argparse
+    from http.server import ThreadingHTTPServer
+
+    import jax
+    import jax.numpy as jnp
+
+    p = argparse.ArgumentParser(description="Serve an EfficientDet model.")
+    p.add_argument(
+        "--edz",
+        default=None,
+        help="serve from a one-file .edz export artifact (export.py); "
+        "--phi/--checkpoint/--num-classes/--batch-size/--score-threshold "
+        "are then taken from the artifact manifest and ignored here",
+    )
+    p.add_argument("--phi", type=int, default=0, choices=range(8))
+    p.add_argument("--checkpoint", default=None, help="orbax params dir")
+    p.add_argument("--num-classes", type=int, default=90)
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--max-delay-ms", type=float, default=5.0)
+    p.add_argument("--score-threshold", type=float, default=0.3)
+    p.add_argument(
+        "--max-pending", type=int, default=None,
+        help="request queue bound before 503 (default 32x batch)",
+    )
+    p.add_argument(
+        "--pipeline-depth", type=int, default=2,
+        help="dispatched-but-unfetched device batches (host/TPU overlap)",
+    )
+    p.add_argument(
+        "--max-request-mb", type=float, default=32.0,
+        help="reject request bodies larger than this with 413",
+    )
+    args = p.parse_args(argv)
+
+    if args.edz:
+        # The artifact manifest owns the model; a CLI model flag passed
+        # alongside --edz would be silently ignored — make that an error
+        # instead (check against parser defaults).
+        ignored = [
+            flag
+            for flag, value, default in (
+                ("--phi", args.phi, 0),
+                ("--checkpoint", args.checkpoint, None),
+                ("--num-classes", args.num_classes, 90),
+                ("--batch-size", args.batch_size, 8),
+                ("--score-threshold", args.score_threshold, 0.3),
+            )
+            if value != default
+        ]
+        if ignored:
+            p.error(
+                f"--edz takes the model from the artifact manifest; "
+                f"conflicting flags: {', '.join(ignored)}"
+            )
+        predictor = BatchingPredictor.from_artifact(
+            args.edz,
+            max_delay_ms=args.max_delay_ms,
+            max_pending=args.max_pending,
+            pipeline_depth=args.pipeline_depth,
+        )
+    else:
+        import efficientdet_tpu as ed
+        from efficientdet_tpu.configs import EvalConfig
+        from efficientdet_tpu.models.detector import fuse_for_inference
+
+        model, cfg = ed.build_efficientdet(
+            args.phi, num_classes=args.num_classes, dtype=jnp.bfloat16
+        )
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.image_size, cfg.image_size, 3)),
+        )
+        if args.checkpoint:
+            from efficientdet_tpu.utils.checkpoint import load_params
+
+            variables = load_params(args.checkpoint, variables)
+        model, variables = fuse_for_inference(model, variables)
+        predictor = BatchingPredictor(
+            model,
+            variables,
+            batch_size=args.batch_size,
+            max_delay_ms=args.max_delay_ms,
+            eval_config=EvalConfig(score_threshold=args.score_threshold),
+            max_pending=args.max_pending,
+            pipeline_depth=args.pipeline_depth,
+        )
+
+    Handler = make_http_handler(predictor, args.max_request_mb)
     server = ThreadingHTTPServer(("0.0.0.0", args.port), Handler)
-    print(f"serving EfficientDet-D{args.phi} on :{args.port}/predict", flush=True)
+    if predictor.manifest is not None:
+        m = predictor.manifest["model"]
+        print(
+            f"serving EfficientDet-D{m['phi']} (from {args.edz}, "
+            f"batch={predictor.batch_size}) on :{args.port}/predict",
+            flush=True,
+        )
+    else:
+        print(
+            f"serving EfficientDet-D{args.phi} on :{args.port}/predict",
+            flush=True,
+        )
     server.serve_forever()
 
 

@@ -105,6 +105,138 @@ class TestDryrunBootstrap:
             graft.dryrun_multichip(8)
 
 
+class FakeClock:
+    def __init__(self, start=1000.0):
+        self.t = start
+
+    def __call__(self):
+        return self.t
+
+    def advance(self, dt):
+        self.t += dt
+
+
+class TestBudgetGate:
+    """Pin the dryrun's budget arithmetic (VERDICT r3 next #6: nothing
+    pinned the skip math, so the r03 overrun was only caught by the
+    driver). The load-bearing properties: phases are skipped — not run —
+    when the remaining budget can't cover their estimated cost, skips are
+    recorded for the summary line, and the parent's wait is derived from
+    the same budget the child gates against."""
+
+    def test_allow_within_budget(self):
+        clock = FakeClock()
+        gate = graft._BudgetGate(520.0, clock=clock, margin=20.0)
+        assert gate.allow("predict_equality", 240.0)
+        assert gate.skipped == []
+
+    def test_skip_when_phase_cannot_fit(self, capsys):
+        clock = FakeClock()
+        gate = graft._BudgetGate(520.0, clock=clock, margin=20.0)
+        clock.advance(300.0)  # 220 s left < 240 + 20
+        assert not gate.allow("predict_equality", 240.0)
+        assert gate.skipped == ["predict_equality"]
+        out = capsys.readouterr().out
+        assert "predict_equality SKIPPED" in out
+
+    def test_margin_is_respected_at_the_boundary(self):
+        clock = FakeClock()
+        gate = graft._BudgetGate(100.0, clock=clock, margin=20.0)
+        assert gate.allow("a", 80.0)       # 100 >= 80 + 20
+        assert not gate.allow("b", 80.01)  # just over
+
+    def test_every_gated_phase_has_a_cost_estimate(self):
+        for name in ("predict_equality", "device_augment", "multiprocess"):
+            assert graft._PHASE_EST_S[name] > 0
+
+    def test_default_budget_fits_the_driver_window(self):
+        # MULTICHIP_r03.json: the driver killed the dryrun at 660 s. The
+        # child budget plus the parent's wait slack must stay under it.
+        assert graft._DEFAULT_BUDGET_S + 80.0 <= 660.0
+
+    def test_parent_wait_derives_from_budget_env(self, monkeypatch):
+        waits = []
+
+        class WaitRecordingProc(FakeProc):
+            def wait(self, timeout=None):
+                waits.append(timeout)
+                return super().wait(timeout)
+
+        monkeypatch.delenv(graft._CHILD_MARKER, raising=False)
+        monkeypatch.setenv("GRAFT_DRYRUN_BUDGET_S", "300")
+        monkeypatch.setattr(
+            graft.subprocess, "Popen",
+            lambda argv, env=None, **kw: WaitRecordingProc(returncode=0),
+        )
+        graft.dryrun_multichip(8)
+        assert waits == [300.0 + 80.0]
+
+
+class TestMultiprocessFailOpen:
+    """The multiprocess phase must NOT fail the dryrun (VERDICT r3 next
+    #3): in-process phases are the correctness gate; the 2-process
+    topology is flaky under 1-core contention."""
+
+    def _gate(self):
+        return graft._BudgetGate(520.0, clock=FakeClock(), margin=20.0)
+
+    def test_worker_failure_prints_structured_line_and_returns(
+        self, monkeypatch, capsys
+    ):
+        monkeypatch.setattr(
+            graft.subprocess, "Popen",
+            lambda argv, env=None, **kw: FakeProc(returncode=7),
+        )
+        graft._multiprocess_phase(8, self._gate(), lambda m: None)  # no raise
+        lines = [
+            json.loads(ln)
+            for ln in capsys.readouterr().out.splitlines()
+            if ln.startswith("{")
+        ]
+        assert lines[-1] == {
+            "phase": "multiprocess", "ok": False, "rc": 7,
+            "reason": "worker failure (fail-open; in-process phases passed)",
+        }
+
+    def test_timeout_kills_group_and_returns(self, monkeypatch, capsys):
+        import subprocess as sp
+
+        class HangingProc(FakeProc):
+            def wait(self, timeout=None):
+                if not self.killed:
+                    raise sp.TimeoutExpired(cmd="mp", timeout=timeout)
+                self.returncode = -9
+                return self.returncode
+
+        proc = HangingProc(hang=True)
+        monkeypatch.setattr(
+            graft.subprocess, "Popen", lambda argv, env=None, **kw: proc
+        )
+        monkeypatch.setattr(graft.os, "killpg", lambda pid, sig: proc.kill())
+        graft._multiprocess_phase(8, self._gate(), lambda m: None)  # no raise
+        assert proc.killed
+        out = capsys.readouterr().out
+        assert '"phase": "multiprocess", "ok": false' in out
+
+    def test_phase_timeout_tracks_remaining_budget(self, monkeypatch):
+        envs = []
+
+        def fake_popen(argv, env=None, **kw):
+            envs.append(env)
+            return FakeProc(returncode=0)
+
+        monkeypatch.setattr(graft.subprocess, "Popen", fake_popen)
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/tmp/somewhere")
+        clock = FakeClock()
+        gate = graft._BudgetGate(520.0, clock=clock, margin=20.0)
+        clock.advance(200.0)  # 320 s remaining
+        graft._multiprocess_phase(8, gate, lambda m: None)
+        assert float(envs[0]["GRAFT_MP_TIMEOUT_S"]) == 300.0  # 320 - margin
+        # Cache-deserialized CPU executables hang cross-process collectives
+        # (measured round 4) — the cache var must never reach the workers.
+        assert "JAX_COMPILATION_CACHE_DIR" not in envs[0]
+
+
 class TestBenchWatchdog:
     def _patch_speed(self, monkeypatch):
         monkeypatch.setattr(bench, "_PROBE_WINDOW_S", 1)

@@ -33,10 +33,12 @@ def main():
     p.add_argument("--remat-max-stage", type=int, default=7,
                    help="backbone stages above this are saved, not rematted")
     p.add_argument("--grad-accum-steps", type=int, default=1)
-    p.add_argument("--no-fused-optimizer", action="store_true",
-                   help="leaf-wise Adam instead of the optax.flatten'd "
-                   "single-vector update (A/B for the optimiser tax, "
-                   "docs/DESIGN.md 6f)")
+    p.add_argument("--fused-optimizer", action="store_true",
+                   help="opt-in A/B lever: optax.flatten'd single-vector "
+                   "Adam instead of the default leaf-wise update. Default "
+                   "matches TrainConfig (leaf-wise) — the on-chip A/B "
+                   "measured fused 5%% SLOWER (docs/DESIGN.md 6f), so the "
+                   "default bench must exercise what training runs use.")
     p.add_argument("--trace", default=None,
                    help="directory: capture a jax.profiler trace of the "
                    "timed steps")
@@ -59,7 +61,7 @@ def main():
     size = cfg.image_size
     tc = TrainConfig(batch_size=args.batch, max_gt_boxes=args.max_gt,
                      grad_accum_steps=args.grad_accum_steps,
-                     fused_optimizer=not args.no_fused_optimizer)
+                     fused_optimizer=args.fused_optimizer)
 
     mesh = make_mesh()
     state = create_train_state(model, tc, jax.random.PRNGKey(0))

@@ -28,14 +28,17 @@ run_step() {  # name timeout_s cmd...
   return $rc
 }
 
+# (Flag updated round 4: leaf-wise is now bench_train's default — fused
+# became the opt-in --fused-optimizer after the A/B below measured it 5%
+# slower; this step is the default configuration, kept for re-runs.)
 run_step train_b128_nofused 2400 python tools/bench_train.py --batch 128 \
-  --dtype bf16 --no-fused-optimizer
+  --dtype bf16
 # b160 with remat_max_stage=3 OOM'd by just 56M (15.80/15.75G hbm);
 # remat stage 4 as well to free its saved activations and retry.
 run_step train_b160_sel4 2400 python tools/bench_train.py --batch 160 \
   --dtype bf16 --remat --remat-max-stage 4
 run_step train_b128_fused_trace 2400 python tools/bench_train.py --batch 128 \
-  --dtype bf16 --trace "$LOG/b128_fused_trace"
+  --dtype bf16 --fused-optimizer --trace "$LOG/b128_fused_trace"
 
 [ -d "$LOG/b128_fused_trace" ] && python tools/analyze_trace.py \
   "$LOG/b128_fused_trace" --json >"$LOG/b128_fused_trace.roofline.txt" 2>&1 \
