@@ -1,0 +1,459 @@
+"""Pallas TPU kernel: fused stride-1 inference MBConv on a LANE-DENSE
+packed layout. The round-4 attempt at ROADMAP #2 / VERDICT r3 next #4.
+
+Why the previous kernel lost (experiments/mbconv_pallas.py, 6x slower than
+XLA): it kept the model's NHWC layout inside the kernel, so every VPU op on
+the early stages' 16-48 channels filled 1/8..1/4 of the 128 lanes, and the
+HBM blocks it moved carried the same 2.7-5.3x tile padding the XLA path
+pays (docs/DESIGN.md 6d). This kernel changes the LAYOUT, not just the
+fusion: activations travel as (B, C, H*W) --
+
+  * lanes   = flattened spatial (H*W: 4096..262144, always 128-aligned for
+    the power-of-two feature maps), 100% dense;
+  * sublanes = channels (24..240: zero pad at 32/48/96/144/240, 25% pad at
+    24 -- vs 81% lane pad for C=24 NHWC);
+
+so HBM traffic per block drops to ~read-x-once + write-y-once with near-zero
+padding, and every VPU op is full-width. Inside one kernel invocation
+(grid = batch):
+
+  expand:    e = swish(Wexp^T x + b)        one MXU matmul (Ce x N)
+  depthwise: k*k shifted multiply-adds on a (Ce, N+2*PAD) zero-padded VMEM
+             scratch -- a tap at (dy,dx) is the lane-offset slice
+             [PAD+dy*W+dx : +N] times a per-channel column Wdw[:, tap],
+             plus a column mask for dx!=0 (row-wrap kill); accumulated f32
+  SE:        global mean over lanes -> two tiny matmuls -> sigmoid column
+  project:   y = Wproj^T (scale * dw) + b   one MXU matmul (Co x N)
+  skip:      + x when shapes allow
+
+Stride-2 blocks keep the XLA path (lane-strided downsample needs a
+relayout; they are 1 of 2-4 blocks per stage). Correctness is asserted
+against the real flax MBConvBlock(fuse_bn=True) -- same param tree, exact
+math modulo bf16 rounding (tests/test_packed_mbconv.py runs this file's
+kernel in interpret mode on CPU).
+
+Measured on v5e (b128 D0 / b16 D4 shapes, bf16): see docs/DESIGN.md 6i.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python experiments/packed_mbconv_pallas.py
+       [--blocks d0s1,d0s2b1,...] [--steps 30] [--interpret]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import time
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# --------------------------------------------------------------- block spec
+
+
+class BlockShape(NamedTuple):
+    name: str
+    batch: int
+    hw: int          # square feature-map side (stride-1 block: in == out)
+    cin: int
+    cexp: int        # == cin when expand_ratio == 1
+    cout: int
+    ksize: int
+    se_reduced: int
+
+    @property
+    def has_expand(self):
+        return self.cexp != self.cin
+
+    @property
+    def has_skip(self):
+        return self.cin == self.cout
+
+
+# The stride-1 early blocks of the D0 (b128) and D4 (b16) record configs.
+BLOCKS = {
+    # D0 @512: stem 256^2x32 | s1: 32->16 | s2: 16->24 (b1 s1) | s3: 24->40 k5
+    "d0s1": BlockShape("d0s1", 128, 256, 32, 32, 16, 3, 8),
+    "d0s2b1": BlockShape("d0s2b1", 128, 128, 24, 144, 24, 3, 4),
+    "d0s3b1": BlockShape("d0s3b1", 128, 64, 40, 240, 40, 5, 6),
+    # D4 @1024 (B4 backbone: stem 512^2x48, s1 48->24 x2, s2 24->32 x4 k3,
+    # s3 32->56 x4 k5) -- b16 is the record D4 inference batch's shapes.
+    "d4s1b1": BlockShape("d4s1b1", 16, 512, 24, 24, 24, 3, 12),
+    "d4s2b1": BlockShape("d4s2b1", 16, 256, 32, 192, 32, 3, 8),
+    "d4s3b1": BlockShape("d4s3b1", 16, 128, 56, 336, 56, 5, 14),
+}
+
+
+# ------------------------------------------------- flax reference (truth)
+
+
+def flax_block(shape: BlockShape, dtype=jnp.bfloat16):
+    """The model's own fused-BN MBConv + its init params (the truth)."""
+    from efficientdet_tpu.configs import BlockConfig
+    from efficientdet_tpu.models.efficientnet import MBConvBlock
+
+    cfg = BlockConfig(
+        kernel_size=shape.ksize,
+        num_repeat=1,
+        input_filters=shape.cin,
+        output_filters=shape.cout,
+        expand_ratio=shape.cexp // shape.cin if shape.has_expand else 1,
+        strides=1,
+        se_ratio=shape.se_reduced / shape.cin,
+    )
+    block = MBConvBlock(
+        config=cfg,
+        input_filters=shape.cin,
+        output_filters=shape.cout,
+        strides=1,
+        survival_prob=1.0,
+        dtype=dtype,
+        fuse_bn=True,
+    )
+    x0 = jnp.zeros((1, shape.hw, shape.hw, shape.cin), dtype)
+    params = block.init(jax.random.PRNGKey(0), x0)["params"]
+    # Non-degenerate folded weights: init gives zero biases; randomize so
+    # the parity check exercises every term.
+    rng = np.random.RandomState(1)
+    params = jax.tree.map(
+        lambda p: jnp.asarray(
+            rng.normal(scale=0.1, size=p.shape), p.dtype
+        ),
+        params,
+    )
+    fwd = jax.jit(lambda p, x: block.apply({"params": p}, x))
+    return params, fwd
+
+
+# ----------------------------------------------------- packed param layout
+
+
+def pack_params(params, shape: BlockShape, dtype=jnp.bfloat16):
+    """Flax MBConv(fuse_bn) param tree -> column-major packed operands.
+
+    All vectors become (C, 1) columns (sublane-aligned broadcasts); the
+    depthwise kernel becomes (Ce, k*k) so tap t is the column [:, t:t+1].
+    """
+    k = shape.ksize
+
+    def a(x):
+        return jnp.asarray(x, dtype)
+
+    if shape.has_expand:
+        wexp = a(params["expand_conv"]["kernel"]).reshape(
+            shape.cin, shape.cexp
+        )
+        bexp = a(params["expand_conv"]["bias"]).reshape(shape.cexp, 1)
+    else:
+        wexp = jnp.zeros((1, 1), dtype)
+        bexp = jnp.zeros((1, 1), dtype)
+    wdw = a(params["depthwise_conv"]["kernel"]).reshape(
+        k * k, shape.cexp
+    ).T  # (Ce, k*k)
+    bdw = a(params["depthwise_conv"]["bias"]).reshape(shape.cexp, 1)
+    wser = a(params["se"]["reduce"]["kernel"]).reshape(
+        shape.cexp, shape.se_reduced
+    )
+    bser = a(params["se"]["reduce"]["bias"]).reshape(shape.se_reduced, 1)
+    wsee = a(params["se"]["expand"]["kernel"]).reshape(
+        shape.se_reduced, shape.cexp
+    )
+    bsee = a(params["se"]["expand"]["bias"]).reshape(shape.cexp, 1)
+    wproj = a(params["project_conv"]["kernel"]).reshape(
+        shape.cexp, shape.cout
+    )
+    bproj = a(params["project_conv"]["bias"]).reshape(shape.cout, 1)
+    return (wexp, bexp, wdw, bdw, wser, bser, wsee, bsee, wproj, bproj)
+
+
+def pack_x(x):
+    """NHWC -> (B, C, H*W). One XLA transpose (timed separately below)."""
+    b, h, w, c = x.shape
+    return x.transpose(0, 3, 1, 2).reshape(b, c, h * w)
+
+
+def unpack_x(xp, hw):
+    b, c, n = xp.shape
+    return xp.reshape(b, c, hw, hw).transpose(0, 2, 3, 1)
+
+
+# --------------------------------------------------------------- the kernel
+
+
+def _taps(ksize):
+    p = (ksize - 1) // 2
+    return [(dy, dx) for dy in range(-p, p + 1) for dx in range(-p, p + 1)]
+
+
+def _kernel(
+    x_ref,      # (1, Ci, N)
+    wexp_ref, bexp_ref, wdw_ref, bdw_ref,
+    wser_ref, bser_ref, wsee_ref, bsee_ref,
+    wproj_ref, bproj_ref,
+    out_ref,    # (1, Co, N)
+    epad_ref,   # (Ce, N + 2*PAD) scratch, input dtype
+    *,
+    W: int, N: int, PAD: int, ksize: int,
+    has_expand: bool, has_skip: bool,
+):
+    f32 = jnp.float32
+    xin = x_ref[0]  # (Ci, N)
+
+    if has_expand:
+        e = jax.lax.dot_general(
+            wexp_ref[:, :], xin,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ) + bexp_ref[:, :].astype(f32)
+        e = jax.nn.swish(e).astype(x_ref.dtype)
+    else:
+        e = xin
+
+    # Zero-padded lane buffer: tap (dy,dx) = slice at PAD + dy*W + dx. The
+    # pad absorbs row-edge taps (reads land in zeros); column wrap (dx!=0
+    # crossing a row boundary INSIDE the buffer) is killed by a lane mask.
+    epad_ref[:, :PAD] = jnp.zeros((e.shape[0], PAD), e.dtype)
+    epad_ref[:, PAD + N:] = jnp.zeros((e.shape[0], PAD), e.dtype)
+    epad_ref[:, PAD:PAD + N] = e
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1) & (W - 1)  # n % W
+    acc = jnp.zeros_like(e, f32)
+    for t, (dy, dx) in enumerate(_taps(ksize)):
+        v = epad_ref[:, PAD + dy * W + dx: PAD + dy * W + dx + N]
+        v = v.astype(f32)
+        if dx > 0:
+            v = jnp.where(col < W - dx, v, 0.0)
+        elif dx < 0:
+            v = jnp.where(col >= -dx, v, 0.0)
+        acc = acc + v * wdw_ref[:, t:t + 1].astype(f32)
+    dwo = jax.nn.swish(acc + bdw_ref[:, :].astype(f32))  # (Ce, N) f32
+
+    pool = jnp.sum(dwo, axis=1, keepdims=True) * (1.0 / N)  # (Ce, 1)
+    r = jax.lax.dot_general(
+        wser_ref[:, :].astype(f32), pool,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ) + bser_ref[:, :].astype(f32)
+    r = jax.nn.swish(r)
+    s = jax.lax.dot_general(
+        wsee_ref[:, :].astype(f32), r,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ) + bsee_ref[:, :].astype(f32)
+    scale = jax.nn.sigmoid(s)  # (Ce, 1)
+
+    sdw = (dwo * scale).astype(x_ref.dtype)
+    y = jax.lax.dot_general(
+        wproj_ref[:, :], sdw,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ) + bproj_ref[:, :].astype(f32)
+    if has_skip:
+        y = y + xin.astype(f32)
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+def packed_mbconv(xp, packed, shape: BlockShape, interpret=False):
+    """Fused stride-1 MBConv on the packed layout.
+
+    xp: (B, Cin, N) with N = side*side. Returns (B, Cout, N).
+    """
+    b, cin, n = xp.shape
+    W = shape.hw
+    assert n == W * W, (n, W)
+    p = (shape.ksize - 1) // 2
+    PAD = p * W + p
+
+    kernel = functools.partial(
+        _kernel,
+        W=W, N=n, PAD=PAD, ksize=shape.ksize,
+        has_expand=shape.has_expand, has_skip=shape.has_skip,
+    )
+    full = lambda a: pl.BlockSpec(
+        a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM
+    )
+    # Let Mosaic use almost all of the v5e's 128 MB VMEM: estimating the
+    # live set precisely is hopeless (the compiler keeps e/taps/dwo/sdw in
+    # flight), and the only cost of a high limit is compile-time rejection
+    # of blocks that genuinely need spatial chunking.
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, cin, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            *[full(a) for a in packed],
+        ],
+        out_specs=pl.BlockSpec(
+            (1, shape.cout, n), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, shape.cout, n), xp.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((shape.cexp, n + 2 * PAD), xp.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(xp, *packed)
+
+
+# ------------------------------------- same math, plain XLA (layout probe)
+
+
+def xla_packed_mbconv(xp, packed, shape: BlockShape):
+    """The packed formulation left to XLA: does the layout alone help?"""
+    (wexp, bexp, wdw, bdw, wser, bser, wsee, bsee, wproj, bproj) = packed
+    b, cin, n = xp.shape
+    W = shape.hw
+    p = (shape.ksize - 1) // 2
+    PAD = p * W + p
+    f32 = jnp.float32
+
+    if shape.has_expand:
+        e = jnp.einsum("ie,bin->ben", wexp, xp,
+                       preferred_element_type=f32)
+        e = jax.nn.swish(e + bexp.astype(f32)).astype(xp.dtype)
+    else:
+        e = xp
+    epad = jnp.pad(e, ((0, 0), (0, 0), (PAD, PAD)))
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2) & (W - 1)
+    acc = jnp.zeros((b, shape.cexp, n), f32)
+    for t, (dy, dx) in enumerate(_taps(shape.ksize)):
+        off = PAD + dy * W + dx
+        v = jax.lax.dynamic_slice_in_dim(epad, off, n, 2).astype(f32)
+        if dx > 0:
+            v = jnp.where(col < W - dx, v, 0.0)
+        elif dx < 0:
+            v = jnp.where(col >= -dx, v, 0.0)
+        acc = acc + v * wdw[:, t:t + 1].astype(f32)
+    dwo = jax.nn.swish(acc + bdw.astype(f32))
+    pool = jnp.mean(dwo, axis=2, keepdims=True)
+    r = jax.nn.swish(
+        jnp.einsum("er,ben->brn", wser.astype(f32), pool) + bser.astype(f32)
+    )
+    scale = jax.nn.sigmoid(
+        jnp.einsum("re,brn->ben", wsee.astype(f32), r) + bsee.astype(f32)
+    )
+    sdw = (dwo * scale).astype(xp.dtype)
+    y = jnp.einsum("eo,ben->bon", wproj, sdw, preferred_element_type=f32)
+    y = y + bproj.astype(f32)
+    if shape.has_skip:
+        y = y + xp.astype(f32)
+    return y.astype(xp.dtype)
+
+
+# ------------------------------------------------------------------ harness
+
+
+def fence(x):
+    np.asarray(jax.tree.leaves(x)[0][..., -1])
+
+
+def timed(fn, args, steps):
+    out = fn(*args)
+    fence(out)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = fn(*args)
+    fence(out)
+    return (time.perf_counter() - t0) / steps * 1e3, out
+
+
+def run_block(shape: BlockShape, steps: int, interpret: bool):
+    dtype = jnp.bfloat16
+    params, flax_fwd = flax_block(shape, dtype)
+    packed = pack_params(params, shape, dtype)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(
+        rng.normal(scale=1.0, size=(shape.batch, shape.hw, shape.hw,
+                                    shape.cin)),
+        dtype,
+    )
+    xp = jax.jit(pack_x)(x)
+
+    # --- correctness vs the model's own block ---
+    want = flax_fwd(params, x)
+    got_p = jax.jit(
+        lambda a, pk: packed_mbconv(a, pk, shape, interpret=interpret)
+    )(xp, packed)
+    got = unpack_x(got_p, shape.hw)
+    err = float(
+        jnp.max(jnp.abs(got.astype(jnp.float32) - want.astype(jnp.float32)))
+    )
+    ref_mag = float(jnp.max(jnp.abs(want.astype(jnp.float32))))
+    assert err <= 0.06 * max(ref_mag, 1.0), (shape.name, err, ref_mag)
+
+    got_x = jax.jit(lambda a, pk: xla_packed_mbconv(a, pk, shape))(xp, packed)
+    errx = float(
+        jnp.max(jnp.abs(unpack_x(got_x, shape.hw).astype(jnp.float32)
+                        - want.astype(jnp.float32)))
+    )
+    assert errx <= 0.06 * max(ref_mag, 1.0), (shape.name, errx, ref_mag)
+
+    if interpret:
+        print(json.dumps({"block": shape.name, "parity": "ok",
+                          "max_err": round(err, 4)}), flush=True)
+        return
+
+    # --- timing ---
+    ms_ref, _ = timed(flax_fwd, (params, x), steps)
+    ms_pal, _ = timed(
+        jax.jit(lambda a, pk: packed_mbconv(a, pk, shape)), (xp, packed),
+        steps,
+    )
+    ms_xla, _ = timed(
+        jax.jit(lambda a, pk: xla_packed_mbconv(a, pk, shape)),
+        (xp, packed), steps,
+    )
+    ms_pack, _ = timed(jax.jit(pack_x), (x,), steps)
+    ms_unpack, _ = timed(
+        jax.jit(functools.partial(unpack_x, hw=shape.hw)), (got_p,), steps
+    )
+    # HBM speed-of-light for the fused block: read x + write y, dense.
+    sol_ms = (
+        (shape.cin + shape.cout) * shape.hw ** 2 * shape.batch * 2
+        / 819e9 * 1e3
+    )
+    print(
+        json.dumps(
+            {
+                "block": shape.name,
+                "xla_nhwc_ms": round(ms_ref, 3),
+                "pallas_packed_ms": round(ms_pal, 3),
+                "xla_packed_ms": round(ms_xla, 3),
+                "pack_ms": round(ms_pack, 3),
+                "unpack_ms": round(ms_unpack, 3),
+                "sol_ms": round(sol_ms, 3),
+                "speedup_resident": round(ms_ref / ms_pal, 2),
+                "speedup_with_conversions": round(
+                    ms_ref / (ms_pal + ms_pack + ms_unpack), 2
+                ),
+                "max_err": round(err, 4),
+            }
+        ),
+        flush=True,
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--blocks", default=",".join(BLOCKS))
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--interpret", action="store_true")
+    args = ap.parse_args()
+    print(f"backend={jax.default_backend()}", flush=True)
+    for name in args.blocks.split(","):
+        run_block(BLOCKS[name], args.steps, args.interpret)
+
+
+if __name__ == "__main__":
+    main()
