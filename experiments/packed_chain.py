@@ -1,20 +1,27 @@
 """End-to-end A/B for the packed-layout early backbone (stages 1-3).
 
-experiments/packed_mbconv_pallas.py measured the per-block story on v5e:
-the fused Pallas kernel on the lane-dense (B, C, H*W) layout beats XLA
-NHWC 3.43x resident on d0s1, 1.26x on d0s2b1, and LOSES 0.53x on the k5
-stage-3 block — but a per-block pack/unpack relayout eats every win
-(XLA's (B,C,N)->NHWC transpose runs ~20x off bandwidth). This experiment
-measures the real integration shape, where relayouts happen only at
-REGION BOUNDARIES:
+experiments/packed_mbconv_pallas.py measures the per-block story; this
+file measures the real integration shape, where relayouts happen only at
+region boundaries. Round-4 v2 findings folded in:
 
-  * pack ONCE after the stem (measured 1.2-2.5 ms),
-  * run a ROUTE of blocks: 'pallas' (fused kernel), 'xla2' (same packed
-    math left to XLA — handles stride-2, where 4D strided-slice taps need
-    no wrap masks), or 'nhwc' (the model's flax block),
-  * the LAST packed xla2 block fuses the unpack away by emitting its
-    project matmul as "eo,ben->bno" — (B, N, C) IS flattened NHWC, so
-    region exit costs zero extra HBM traffic.
+  * the honest baseline is the WHOLE flax stage-1..3 chain in ONE jit
+    (19.5 ms for D0 b128 on v5e) — per-block jits pay boundary layouts
+    and overstate the win;
+  * stride-2 packed blocks via strided slices are catastrophic in XLA
+    (~25x slow). The fix is the HYBRID block: its 1x1 expand matmul reads
+    the packed layout and emits NHWC ("ie,bin->bne" — the transpose rides
+    the MXU op for free), the stride-2 depthwise runs as a native NHWC
+    XLA conv, and the project matmul emits packed again ("bhwe,eo->bohw")
+    — so inter-block HBM arrays stay lane-dense with ZERO explicit
+    relayout ops anywhere in the region;
+  * stride-1 blocks use the v1 fused Pallas kernel (the mask-free
+    row-padded rp variant measured SLOWER than v1 on-chip — 13.7 vs 9.5 ms
+    at d0s2b1 — so the chain stays on the plain (B, C, H*W) layout).
+
+Routes mix three modes per block: 'pallas' (fused kernel), 'hybrid'
+(packed-I/O, NHWC-internal XLA; stride-2 capable), 'nhwc' (the model's
+flax block). Layout transitions ride the hybrid matmuls; pack_x/unpack_x
+are inserted only where a pallas/nhwc block abuts the other layout.
 
 Truth is the model's own flax MBConvBlock(fuse_bn=True) chain; parity is
 asserted per route, then each route is timed. Measured: docs/DESIGN.md 6i.
@@ -36,7 +43,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from experiments.packed_mbconv_pallas import (
-    _taps,
     pack_x,
     packed_mbconv,
     unpack_x,
@@ -68,7 +74,7 @@ class ChainSpec(NamedTuple):
     hw: int  # stem-output side
     cin: int
     blocks: tuple
-    routes: tuple  # routes to measure, each len(blocks) of nhwc|pallas|xla2
+    routes: tuple  # routes to measure, each len(blocks) of nhwc|pallas|hybrid
 
 
 # B0 stages 1-3 (configs.BACKBONE_BLOCK_TABLES b0, width 1.0), b128 @512.
@@ -82,18 +88,18 @@ D0_CHAIN = ChainSpec(
         ChainBlock("s3b1", 40, 240, 40, 5, 1, 6),
     ),
     (
-        # narrow: only the 3.43x s1 win, exit fused at s2b0
-        ("pallas", "xla2", "nhwc", "nhwc", "nhwc"),
-        # medium: s1 + s2b1 wins, exit fused at s3b0
-        ("pallas", "xla2", "pallas", "xla2", "nhwc"),
-        # wide: everything packed, exit unpack after pallas s3b1
-        ("pallas", "xla2", "pallas", "xla2", "pallas"),
+        # narrow: only the s1 kernel win, exit NHWC riding s2b0's project
+        ("pallas", "hybrid", "nhwc", "nhwc", "nhwc"),
+        # medium: + s2b1 kernel, exit riding s3b0's project
+        ("pallas", "hybrid", "pallas", "hybrid", "nhwc"),
+        # wide: everything packed, explicit unpack after pallas s3b1
+        ("pallas", "hybrid", "pallas", "hybrid", "pallas"),
     ),
 )
 
 # B4 (width 1.4, depth 1.8): stem 48; s1: 48->24 x2 e1k3; s2: 24->32 x4
-# e6k3; s3: 32->56 x4 e6k5. b16 @1024. The 512^2 and Ce>=192 @256^2 blocks
-# exceed the monolithic kernel's VMEM -> xla2 there.
+# e6k3; s3: 32->56 x4 e6k5. b16 @1024. The 512^2 s1 blocks exceed the
+# monolithic kernel's VMEM and are e1 (no matmul to ride) -> keep nhwc.
 D4_CHAIN = ChainSpec(
     "d4", 16, 512, 48,
     (
@@ -109,18 +115,18 @@ D4_CHAIN = ChainSpec(
         ChainBlock("s3b3", 56, 336, 56, 5, 1, 14),
     ),
     (
-        # stage-1 only (the 512^2 tile-pad hotspot), exit fused at s2b0
-        ("xla2", "xla2", "xla2", "nhwc", "nhwc", "nhwc", "nhwc", "nhwc",
-         "nhwc", "nhwc"),
-        # stages 1-2 packed (pallas where VMEM fits), exit fused at s3b0
-        ("xla2", "xla2", "xla2", "xla2", "xla2", "xla2", "xla2", "nhwc",
-         "nhwc", "nhwc"),
+        # stage-2 kernels only: enter riding s2b0's expand, exit at s3b0
+        ("nhwc", "nhwc", "hybrid", "pallas", "pallas", "pallas", "hybrid",
+         "nhwc", "nhwc", "nhwc"),
+        # + stage-3 kernels, explicit unpack after s3b3
+        ("nhwc", "nhwc", "hybrid", "pallas", "pallas", "pallas", "hybrid",
+         "pallas", "pallas", "pallas"),
     ),
 )
 
 # CPU/interpret parity spec: every code path (pallas stride-1 w/ and w/o
-# expand+skip, xla2 stride-2 + fused-nhwc exit, k5, mid-chain nhwc) at toy
-# sizes.
+# expand+skip, hybrid stride-2 rp->rp / nhwc->rp / rp->nhwc, k5,
+# mid-chain nhwc) at toy sizes.
 TINY_CHAIN = ChainSpec(
     "tiny", 2, 16, 8,
     (
@@ -131,9 +137,9 @@ TINY_CHAIN = ChainSpec(
         ChainBlock("s3b1", 8, 48, 8, 5, 1, 2),
     ),
     (
-        ("pallas", "xla2", "nhwc", "xla2", "pallas"),
-        ("pallas", "xla2", "pallas", "xla2", "nhwc"),
-        ("xla2", "xla2", "xla2", "xla2", "xla2"),
+        ("pallas", "hybrid", "nhwc", "hybrid", "pallas"),
+        ("pallas", "hybrid", "pallas", "hybrid", "nhwc"),
+        ("nhwc", "hybrid", "pallas", "hybrid", "pallas"),
     ),
 )
 
@@ -225,70 +231,58 @@ def chain_pack_params(params, spec: ChainSpec, dtype=jnp.bfloat16):
     return out
 
 
-# ------------------------------- packed math in plain XLA, stride 1 and 2
+# ----------------------------- hybrid block: packed I/O, NHWC-internal XLA
 #
-# 4D (B, C, H, W) tap slicing: real 2D zero padding absorbs the edges, so
-# no lane-wrap masks are needed (they are a flattened-lane/VMEM-kernel
-# constraint, not an XLA one); stride-2 is a strided slice per tap.
+# The 1x1 matmuls at both ends of an MBConv absorb the layout transposes
+# for free (einsum output order), so the block's interior — including the
+# stride-2 depthwise, which XLA lowers well ONLY in NHWC — runs native
+# while its HBM neighbours stay lane-dense.
 
 
-def xla_packed_block(xp, packed, blk: ChainBlock, W: int,
-                     out_nhwc: bool = False):
+def hybrid_block(x, packed, blk: ChainBlock, W: int,
+                 in_layout: str, out_layout: str):
     (wexp, bexp, wdw, bdw, wser, bser, wsee, bsee, wproj, bproj) = packed
-    b, cin, n = xp.shape
-    assert n == W * W
-    p = (blk.ksize - 1) // 2
-    s = blk.stride
-    Wo = W // s
+    assert blk.has_expand, "hybrid entry/exit rides the expand/project"
+    assert not blk.has_skip or (in_layout == out_layout == "nhwc")
     f32 = jnp.float32
+    b = x.shape[0]
+    Wo = W // blk.stride
 
-    if blk.has_expand:
-        e = jnp.einsum("ie,bin->ben", wexp, xp, preferred_element_type=f32)
-        e = jax.nn.swish(e + bexp.astype(f32)).astype(xp.dtype)
+    if in_layout == "packed":
+        e = jnp.einsum("ie,bin->bne", wexp, x, preferred_element_type=f32)
+        e = jax.nn.swish(e + bexp.astype(f32).reshape(1, 1, blk.cexp))
+        e = e.astype(x.dtype).reshape(b, W, W, blk.cexp)
     else:
-        e = xp
-    e4 = e.reshape(b, blk.cexp, W, W)
-    epad = jnp.pad(e4, ((0, 0), (0, 0), (p, p), (p, p)))
-    # TF-style SAME: pad_left = (max((Wo-1)*s + k - W, 0)) // 2, which for
-    # stride 2 on even W is p-1 (asymmetric) — the tap window of output yo
-    # starts at s*yo - pad_left, i.e. shifted by (p - pad_left) inside our
-    # symmetric p-padded buffer.
-    pad_left = max((Wo - 1) * s + blk.ksize - W, 0) // 2
-    shift = p - pad_left
-    acc = jnp.zeros((b, blk.cexp, Wo, Wo), f32)
-    for t, (dy, dx) in enumerate(_taps(blk.ksize)):
-        v = jax.lax.slice(
-            epad,
-            (0, 0, p + dy + shift, p + dx + shift),
-            (b, blk.cexp, p + dy + shift + (Wo - 1) * s + 1,
-             p + dx + shift + (Wo - 1) * s + 1),
-            (1, 1, s, s),
-        ).astype(f32)
-        acc = acc + v * wdw[:, t].astype(f32).reshape(1, blk.cexp, 1, 1)
-    dwo = jax.nn.swish(acc + bdw.astype(f32).reshape(1, blk.cexp, 1, 1))
-    dwo = dwo.reshape(b, blk.cexp, Wo * Wo)
-    pool = jnp.mean(dwo, axis=2, keepdims=True)
-    r = jax.nn.swish(
-        jnp.einsum("er,ben->brn", wser.astype(f32), pool) + bser.astype(f32)
+        e = jnp.einsum("bhwi,ie->bhwe", x, wexp, preferred_element_type=f32)
+        e = jax.nn.swish(e + bexp.astype(f32).reshape(1, 1, 1, blk.cexp))
+        e = e.astype(x.dtype)
+
+    dw_kernel = wdw.T.reshape(blk.ksize, blk.ksize, 1, blk.cexp)
+    dw = jax.lax.conv_general_dilated(
+        e, dw_kernel,
+        window_strides=(blk.stride, blk.stride),
+        padding="SAME",
+        feature_group_count=blk.cexp,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=f32,
     )
-    scale = jax.nn.sigmoid(
-        jnp.einsum("re,brn->ben", wsee.astype(f32), r) + bsee.astype(f32)
-    )
-    sdw = (dwo * scale).astype(xp.dtype)
-    if out_nhwc:
-        # Region exit: (B, N, C) IS flattened NHWC — the unpack rides the
-        # project matmul's output for free. Skip-add would need xp
-        # transposed, so fused exit is only for skip-free blocks.
-        assert not blk.has_skip
-        y = jnp.einsum("eo,ben->bno", wproj, sdw,
+    dw = jax.nn.swish(dw + bdw.astype(f32).reshape(1, 1, 1, blk.cexp))
+
+    pool = jnp.mean(dw, axis=(1, 2))  # (B, Ce) f32
+    r = jax.nn.swish(pool @ wser.astype(f32) + bser.astype(f32)[:, 0])
+    scale = jax.nn.sigmoid(r @ wsee.astype(f32) + bsee.astype(f32)[:, 0])
+    sdw = (dw * scale[:, None, None, :]).astype(x.dtype)
+
+    if out_layout == "packed":
+        y = jnp.einsum("bhwe,eo->bohw", sdw, wproj,
                        preferred_element_type=f32)
-        y = y + bproj.astype(f32).reshape(1, 1, blk.cout)
-        return y.astype(xp.dtype).reshape(b, Wo, Wo, blk.cout)
-    y = jnp.einsum("eo,ben->bon", wproj, sdw, preferred_element_type=f32)
-    y = y + bproj.astype(f32)
+        y = y + bproj.astype(f32).reshape(1, blk.cout, 1, 1)
+        return y.astype(x.dtype).reshape(b, blk.cout, Wo * Wo)
+    y = jnp.einsum("bhwe,eo->bhwo", sdw, wproj, preferred_element_type=f32)
+    y = y + bproj.astype(f32).reshape(1, 1, 1, blk.cout)
     if blk.has_skip:
-        y = y + xp.astype(f32)
-    return y.astype(xp.dtype)
+        y = y + x.astype(f32)
+    return y.astype(x.dtype)
 
 
 # ----------------------------------------------------------- routed chain
@@ -296,8 +290,9 @@ def xla_packed_block(xp, packed, blk: ChainBlock, W: int,
 
 def routed_chain(x_nhwc, params, packed_list, spec: ChainSpec, route,
                  flax_blocks, interpret=False):
-    """Apply the block sequence per ``route``, inserting relayouts only at
-    region boundaries; an xla2 block followed by nhwc exits fused."""
+    """Apply the block sequence per ``route``; layout transitions ride the
+    hybrid matmuls, with explicit pack_rp/unpack_rp only at pallas/nhwc
+    junctions."""
     W = spec.hw
     x = x_nhwc
     layout = "nhwc"
@@ -310,23 +305,21 @@ def routed_chain(x_nhwc, params, packed_list, spec: ChainSpec, route,
                 x = unpack_x(x, W)
                 layout = "nhwc"
             x = mod.apply({"params": p}, x)
-        else:
+        elif mode == "pallas":
             if layout == "nhwc":
                 x = pack_x(x)
                 layout = "packed"
-            if mode == "pallas":
-                shape = PallasShape(
-                    blk.name, x.shape[0], W, blk.cin, blk.cexp, blk.cout,
-                    blk.ksize, blk.se_reduced,
-                )
-                x = packed_mbconv(x, packed, shape, interpret=interpret)
-            elif mode == "xla2":
-                fuse_exit = nxt == "nhwc" and not blk.has_skip
-                x = xla_packed_block(x, packed, blk, W, out_nhwc=fuse_exit)
-                if fuse_exit:
-                    layout = "nhwc"
-            else:
-                raise ValueError(mode)
+            shape = PallasShape(
+                blk.name, x.shape[0], W, blk.cin, blk.cexp, blk.cout,
+                blk.ksize, blk.se_reduced,
+            )
+            x = packed_mbconv(x, packed, shape, interpret=interpret)
+        elif mode == "hybrid":
+            out_layout = "nhwc" if nxt == "nhwc" else "packed"
+            x = hybrid_block(x, packed, blk, W, layout, out_layout)
+            layout = out_layout
+        else:
+            raise ValueError(mode)
         W //= blk.stride
     if layout == "packed":
         x = unpack_x(x, W)
@@ -350,7 +343,8 @@ def timed(fn, args, steps):
     return (time.perf_counter() - t0) / steps * 1e3, out
 
 
-def run_chain(spec: ChainSpec, steps: int, interpret: bool):
+def run_chain(spec: ChainSpec, steps: int, interpret: bool,
+              trace_dir: str | None = None):
     dtype = jnp.float32 if interpret else jnp.bfloat16
     params, flax_fwd, flax_blocks = flax_chain(spec, dtype)
     packed_list = chain_pack_params(params, spec, dtype)
@@ -367,6 +361,12 @@ def run_chain(spec: ChainSpec, steps: int, interpret: bool):
         ms_ref, _ = timed(flax_fwd, (params, x), steps)
         print(json.dumps({"chain": spec.name, "route": "nhwc-baseline",
                           "ms": round(ms_ref, 3)}), flush=True)
+        if trace_dir:
+            with jax.profiler.trace(trace_dir):
+                for _ in range(5):
+                    out = flax_fwd(params, x)
+                fence(out)
+            print(f"baseline trace -> {trace_dir}", flush=True)
 
     for route in spec.routes:
         fn = functools.partial(
@@ -406,10 +406,12 @@ def main():
     ap.add_argument("--chains", default="d0,d4")
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--interpret", action="store_true")
+    ap.add_argument("--trace", default=None,
+                    help="dir to write a baseline profiler trace into")
     args = ap.parse_args()
     print(f"backend={jax.default_backend()}", flush=True)
     for name in args.chains.split(","):
-        run_chain(CHAINS[name], args.steps, args.interpret)
+        run_chain(CHAINS[name], args.steps, args.interpret, args.trace)
 
 
 if __name__ == "__main__":

@@ -305,6 +305,166 @@ def packed_mbconv(xp, packed, shape: BlockShape, interpret=False):
     )(xp, *packed)
 
 
+# ------------------------------------------------- row-padded (rp) layout
+#
+# v2 of the packed layout, designed from the v1 measurement (masks + taps
+# dominate the VPU): activations travel as (B, C, Hp*Wp) where Hp = H+2*RP,
+# Wp = W+2*RP with a UNIVERSAL pad RP=2 (covers k3 and k5, so every block
+# shares one layout). Gap/pad lanes are kept at ZERO by every producer
+# (one multiply by a precomputed 0/1 mask), which makes the depthwise tap
+# loop pure fused-multiply-adds: tap (dy, dx) is the lane slice at offset
+# dy*Wp + dx, row gaps of >= 2*RP zeros absorb dx without wrap masks, pad
+# rows absorb dy. Overhead: (Hp*Wp)/(H*W) = 1.6% at 256^2 .. 6.4% at 64^2.
+
+RP = 2  # universal row/col pad (max kernel p among k3/k5)
+
+
+def rp_dims(hw):
+    return hw + 2 * RP  # padded side
+
+
+def pack_rp(x):
+    """NHWC -> row-padded packed (B, C, Hp*Wp), gaps zero."""
+    b, h, w, c = x.shape
+    xt = x.transpose(0, 3, 1, 2)
+    xt = jnp.pad(xt, ((0, 0), (0, 0), (RP, RP), (RP, RP)))
+    return xt.reshape(b, c, rp_dims(h) * rp_dims(w))
+
+
+def unpack_rp(xp, hw):
+    b, c, _ = xp.shape
+    hp = rp_dims(hw)
+    x4 = xp.reshape(b, c, hp, hp)[:, :, RP:RP + hw, RP:RP + hw]
+    return x4.transpose(0, 2, 3, 1)
+
+
+def rp_mask(hw, dtype=jnp.bfloat16):
+    """(1, Hp*Wp) 0/1 mask of real lanes (precomputed input, not iota)."""
+    hp = rp_dims(hw)
+    m = np.zeros((hp, hp), np.float32)
+    m[RP:RP + hw, RP:RP + hw] = 1.0
+    return jnp.asarray(m.reshape(1, hp * hp), dtype)
+
+
+def _rp_kernel(
+    x_ref,      # (1, Ci, Np)
+    mask_ref,   # (1, Np) 0/1
+    wexp_ref, bexp_ref, wdw_ref, bdw_ref,
+    wser_ref, bser_ref, wsee_ref, bsee_ref,
+    wproj_ref, bproj_ref,
+    out_ref,    # (1, Co, Np)
+    epad_ref,   # (Ce, Np + 2*HALO) scratch, input dtype
+    *,
+    Wp: int, Np: int, HALO: int, N_real: int, ksize: int,
+    has_expand: bool, has_skip: bool,
+):
+    f32 = jnp.float32
+    xin = x_ref[0]  # (Ci, Np), gaps zero by invariant
+    mask = mask_ref[0]  # (Np,)
+
+    if has_expand:
+        e = jax.lax.dot_general(
+            wexp_ref[:, :], xin,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ) + bexp_ref[:, :].astype(f32)
+        # One mask multiply re-zeroes the gaps (swish(bexp) != 0 there).
+        e = (jax.nn.swish(e) * mask.astype(f32)).astype(x_ref.dtype)
+    else:
+        e = xin
+
+    epad_ref[:, :HALO] = jnp.zeros((e.shape[0], HALO), e.dtype)
+    epad_ref[:, HALO + Np:] = jnp.zeros((e.shape[0], HALO), e.dtype)
+    epad_ref[:, HALO:HALO + Np] = e
+
+    # Pure-FMA tap loop: no wrap masks, no iota — the >=2*RP zero gap
+    # between consecutive rows absorbs dx, the RP pad rows absorb dy.
+    p = (ksize - 1) // 2
+    acc = jnp.zeros_like(e, f32)
+    for dy in range(-p, p + 1):
+        for dx in range(-p, p + 1):
+            off = HALO + dy * Wp + dx
+            t = (dy + p) * ksize + (dx + p)
+            acc = acc + (
+                epad_ref[:, off:off + Np].astype(f32)
+                * wdw_ref[:, t:t + 1].astype(f32)
+            )
+    dwo = jax.nn.swish(acc + bdw_ref[:, :].astype(f32))  # (Ce, Np) f32
+
+    # Gap lanes of dwo are nonzero (taps reach real neighbours through the
+    # gap); exclude them from the SE pool and divide by the REAL count.
+    pool = jnp.sum(dwo * mask.astype(f32)[None, :], axis=1, keepdims=True)
+    pool = pool * (1.0 / N_real)
+    r = jax.lax.dot_general(
+        wser_ref[:, :].astype(f32), pool,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ) + bser_ref[:, :].astype(f32)
+    r = jax.nn.swish(r)
+    s = jax.lax.dot_general(
+        wsee_ref[:, :].astype(f32), r,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ) + bsee_ref[:, :].astype(f32)
+    scale = jax.nn.sigmoid(s)  # (Ce, 1)
+
+    sdw = (dwo * scale).astype(x_ref.dtype)
+    y = jax.lax.dot_general(
+        wproj_ref[:, :], sdw,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ) + bproj_ref[:, :].astype(f32)
+    # Re-establish the zero-gap invariant for the next consumer.
+    y = y * mask.astype(f32)[None, :]
+    if has_skip:
+        y = y + xin.astype(f32)  # xin gaps are zero, invariant preserved
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+def packed_mbconv_rp(xp, mask, packed, shape: BlockShape, interpret=False):
+    """Mask-free fused stride-1 MBConv on the row-padded layout.
+
+    xp: (B, Cin, Np), Np = (side+2*RP)^2, zero gaps. Returns (B, Cout, Np).
+    """
+    b, cin, n_p = xp.shape
+    Wp = rp_dims(shape.hw)
+    assert n_p == Wp * Wp, (n_p, Wp)
+    HALO = RP * Wp + RP
+
+    kernel = functools.partial(
+        _rp_kernel,
+        Wp=Wp, Np=n_p, HALO=HALO, N_real=shape.hw * shape.hw,
+        ksize=shape.ksize,
+        has_expand=shape.has_expand, has_skip=shape.has_skip,
+    )
+    full = lambda a: pl.BlockSpec(
+        a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, cin, n_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            full(mask),
+            *[full(a) for a in packed],
+        ],
+        out_specs=pl.BlockSpec(
+            (1, shape.cout, n_p), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, shape.cout, n_p), xp.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((shape.cexp, n_p + 2 * HALO), xp.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(xp, mask, *packed)
+
+
 # ------------------------------------- same math, plain XLA (layout probe)
 
 
@@ -399,9 +559,24 @@ def run_block(shape: BlockShape, steps: int, interpret: bool):
     )
     assert errx <= 0.06 * max(ref_mag, 1.0), (shape.name, errx, ref_mag)
 
+    # v2: mask-free kernel on the row-padded layout.
+    xrp = jax.jit(pack_rp)(x)
+    mask = rp_mask(shape.hw, dtype)
+    got_rp_p = jax.jit(
+        lambda a, m, pk: packed_mbconv_rp(a, m, pk, shape,
+                                          interpret=interpret)
+    )(xrp, mask, packed)
+    got_rp = unpack_rp(got_rp_p, shape.hw)
+    err_rp = float(
+        jnp.max(jnp.abs(got_rp.astype(jnp.float32)
+                        - want.astype(jnp.float32)))
+    )
+    assert err_rp <= 0.06 * max(ref_mag, 1.0), (shape.name, err_rp, ref_mag)
+
     if interpret:
         print(json.dumps({"block": shape.name, "parity": "ok",
-                          "max_err": round(err, 4)}), flush=True)
+                          "max_err": round(err, 4),
+                          "max_err_rp": round(err_rp, 4)}), flush=True)
         return
 
     # --- timing ---
@@ -409,6 +584,10 @@ def run_block(shape: BlockShape, steps: int, interpret: bool):
     ms_pal, _ = timed(
         jax.jit(lambda a, pk: packed_mbconv(a, pk, shape)), (xp, packed),
         steps,
+    )
+    ms_rp, _ = timed(
+        jax.jit(lambda a, m, pk: packed_mbconv_rp(a, m, pk, shape)),
+        (xrp, mask, packed), steps,
     )
     ms_xla, _ = timed(
         jax.jit(lambda a, pk: xla_packed_mbconv(a, pk, shape)),
@@ -429,6 +608,8 @@ def run_block(shape: BlockShape, steps: int, interpret: bool):
                 "block": shape.name,
                 "xla_nhwc_ms": round(ms_ref, 3),
                 "pallas_packed_ms": round(ms_pal, 3),
+                "pallas_rp_ms": round(ms_rp, 3),
+                "rp_speedup_resident": round(ms_ref / ms_rp, 2),
                 "xla_packed_ms": round(ms_xla, 3),
                 "pack_ms": round(ms_pack, 3),
                 "unpack_ms": round(ms_unpack, 3),

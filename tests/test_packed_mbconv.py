@@ -16,8 +16,12 @@ from experiments.packed_mbconv_pallas import (
     BlockShape,
     flax_block,
     pack_params,
+    pack_rp,
     pack_x,
     packed_mbconv,
+    packed_mbconv_rp,
+    rp_mask,
+    unpack_rp,
     unpack_x,
     xla_packed_mbconv,
 )
@@ -55,6 +59,25 @@ def test_packed_kernel_matches_flax_block(shape):
         np.float32,
     )
     np.testing.assert_allclose(got_xla, want, rtol=2e-4, atol=2e-4)
+
+    # v2 row-padded mask-free kernel.
+    xrp = pack_rp(x)
+    mask = rp_mask(shape.hw, jnp.float32)
+    got_rp = np.asarray(
+        unpack_rp(
+            packed_mbconv_rp(xrp, mask, packed, shape, interpret=True),
+            shape.hw,
+        ),
+        np.float32,
+    )
+    np.testing.assert_allclose(got_rp, want, rtol=2e-4, atol=2e-4)
+
+    # Zero-gap invariant: the rp output's pad lanes must be exactly zero
+    # (the next block's tap loop relies on it instead of wrap masks).
+    out_full = np.asarray(packed_mbconv_rp(xrp, mask, packed, shape,
+                                           interpret=True), np.float32)
+    gaps = out_full * (1.0 - np.asarray(rp_mask(shape.hw, jnp.float32)))
+    np.testing.assert_array_equal(gaps, np.zeros_like(gaps))
 
 
 @pytest.mark.slow
