@@ -1,0 +1,194 @@
+"""Serving latency/throughput benchmark for the micro-batching predictor.
+
+Closed-loop load against ``serve.BatchingPredictor`` on the local chip:
+C client threads each loop ``predict_sync`` for a fixed duration; per-
+request wall latency is recorded and summarised as p50/p95/p99 plus the
+sustained img/s. Sweeping C shows the batching/latency trade the server
+makes (requests wait up to --max-delay-ms for a batch to fill, so low
+concurrency pays the flush timer and high concurrency pays queueing).
+
+One JSON line per concurrency level:
+
+  {"bench": "serve", "concurrency": 32, "img_s": ..., "p50_ms": ...,
+   "p95_ms": ..., "p99_ms": ..., "overloaded": 0, ...}
+
+With ``--http`` the same load runs through the real HTTP handler on a
+loopback ``ThreadingHTTPServer`` (stdlib client), measuring the full
+POST-image -> JSON-detections path instead of the in-process API.
+
+Random weights (BN-folded) by default — throughput/latency do not depend
+on weight values; pass --checkpoint/--edz for a real model. CPU-runnable
+for plumbing (tiny backbone via --phi tiny), meaningful numbers on TPU:
+
+  PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_serve.py \
+      --phi 0 --batch-size 32 --duration 10 --concurrency 1,8,32,64
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import threading
+import time
+
+import numpy as np
+
+
+def build_predictor(args):
+    import jax
+    import jax.numpy as jnp
+
+    from efficientdet_tpu.configs import EvalConfig, ModelConfig
+    from efficientdet_tpu.models.detector import (
+        EfficientDet,
+        fuse_for_inference,
+    )
+    from efficientdet_tpu.serve import BatchingPredictor
+
+    if args.edz:
+        return BatchingPredictor.from_artifact(
+            args.edz, max_delay_ms=args.max_delay_ms,
+            pipeline_depth=args.pipeline_depth,
+        )
+
+    if args.phi == "tiny":  # CPU plumbing mode
+        cfg = dataclasses.replace(
+            ModelConfig.for_phi(0, num_classes=8, image_size=128),
+            backbone="efficientnet-tiny", bifpn_width=8, bifpn_depth=1,
+            head_depth=1,
+        )
+        model = EfficientDet(config=cfg)
+    else:
+        import efficientdet_tpu as ed
+
+        model, cfg = ed.build_efficientdet(
+            int(args.phi), num_classes=args.num_classes, dtype=jnp.bfloat16
+        )
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.image_size, cfg.image_size, 3)),
+    )
+    if args.checkpoint:
+        from efficientdet_tpu.utils.checkpoint import load_params
+
+        variables = load_params(args.checkpoint, variables)
+    if args.phi != "tiny":
+        model, variables = fuse_for_inference(model, variables)
+    return BatchingPredictor(
+        model, variables,
+        batch_size=args.batch_size,
+        max_delay_ms=args.max_delay_ms,
+        eval_config=EvalConfig(score_threshold=args.score_threshold),
+        pipeline_depth=args.pipeline_depth,
+    )
+
+
+def run_level(call, concurrency: int, duration_s: float):
+    """Closed-loop load: returns (latencies_ms, n_ok, n_overloaded)."""
+    from efficientdet_tpu.serve import PredictorOverloaded
+
+    lat: list[float] = []
+    overloaded = 0
+    lock = threading.Lock()
+    stop = time.perf_counter() + duration_s
+
+    def client():
+        nonlocal overloaded
+        while time.perf_counter() < stop:
+            t0 = time.perf_counter()
+            try:
+                call()
+            except PredictorOverloaded:
+                with lock:
+                    overloaded += 1
+                time.sleep(0.005)
+                continue
+            dt = (time.perf_counter() - t0) * 1e3
+            with lock:
+                lat.append(dt)
+
+    threads = [threading.Thread(target=client) for _ in range(concurrency)]
+    t_start = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    elapsed = time.perf_counter() - t_start
+    return lat, overloaded, elapsed
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--phi", default="0", help="0..7, or 'tiny' (CPU plumbing)")
+    p.add_argument("--num-classes", type=int, default=90)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--edz", default=None)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--max-delay-ms", type=float, default=5.0)
+    p.add_argument("--pipeline-depth", type=int, default=2)
+    p.add_argument("--score-threshold", type=float, default=0.3)
+    p.add_argument("--duration", type=float, default=10.0,
+                   help="seconds of load per concurrency level")
+    p.add_argument("--concurrency", default="1,8,32,64")
+    p.add_argument("--http", action="store_true",
+                   help="drive the real HTTP handler over loopback")
+    args = p.parse_args(argv)
+
+    predictor = build_predictor(args)
+    size = predictor.size
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (size, size, 3)).astype(np.uint8)
+
+    if args.http:
+        import urllib.request
+        from http.server import ThreadingHTTPServer
+        from io import BytesIO
+
+        from PIL import Image
+
+        from efficientdet_tpu.serve import make_http_handler
+
+        buf = BytesIO()
+        Image.fromarray(img).save(buf, format="PNG")
+        body = buf.getvalue()
+        server = ThreadingHTTPServer(
+            ("127.0.0.1", 0), make_http_handler(predictor)
+        )
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        url = f"http://127.0.0.1:{server.server_port}/predict"
+
+        def call():
+            req = urllib.request.Request(url, data=body, method="POST")
+            with urllib.request.urlopen(req, timeout=60) as r:
+                json.loads(r.read())
+    else:
+        def call():
+            predictor.predict_sync(img)
+
+    call()  # warm-up / compile
+    print(json.dumps({
+        "bench": "serve", "event": "ready",
+        "mode": "http" if args.http else "inproc",
+        "phi": args.phi, "batch_size": predictor.batch_size,
+        "max_delay_ms": args.max_delay_ms,
+        "pipeline_depth": args.pipeline_depth, "image_size": size,
+    }), flush=True)
+
+    for c in [int(x) for x in args.concurrency.split(",")]:
+        lat, overloaded, elapsed = run_level(call, c, args.duration)
+        lat_a = np.asarray(lat)
+        print(json.dumps({
+            "bench": "serve",
+            "concurrency": c,
+            "img_s": round(len(lat) / elapsed, 2),
+            "p50_ms": round(float(np.percentile(lat_a, 50)), 2),
+            "p95_ms": round(float(np.percentile(lat_a, 95)), 2),
+            "p99_ms": round(float(np.percentile(lat_a, 99)), 2),
+            "n": len(lat),
+            "overloaded": overloaded,
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
