@@ -78,6 +78,10 @@ class ChainSpec(NamedTuple):
 
 
 # B0 stages 1-3 (configs.BACKBONE_BLOCK_TABLES b0, width 1.0), b128 @512.
+# NOTE (advisor r4): s2b1/s3b1 carry the stage-first-block SE width (4/6)
+# where the real repeat blocks (input==output filters) have 6/10 — parity
+# is unaffected (truth block built from the same se_ratio); shapes kept as
+# measured. See the matching note in packed_mbconv_pallas.BLOCKS.
 D0_CHAIN = ChainSpec(
     "d0", 128, 256, 32,
     (

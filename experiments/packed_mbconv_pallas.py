@@ -76,6 +76,14 @@ class BlockShape(NamedTuple):
 
 
 # The stride-1 early blocks of the D0 (b128) and D4 (b16) record configs.
+# NOTE (advisor r4): the repeat-position blocks (d0s2b1/d0s3b1/d4s1b1) use
+# the stage-FIRST-block SE width (se_ratio * stage cin) where the model
+# builds repeats with input==output filters, i.e. the true widths are
+# 6/10/6 rather than 4/6/12. The parity tests construct the flax truth
+# from the same se_ratio so correctness is unaffected; the measured
+# numbers below were taken at these (slightly thinner/fatter SE) shapes —
+# negligible for an already-closed lever, so the recorded shapes are kept
+# to match the recorded measurements.
 BLOCKS = {
     # D0 @512: stem 256^2x32 | s1: 32->16 | s2: 16->24 (b1 s1) | s3: 24->40 k5
     "d0s1": BlockShape("d0s1", 128, 256, 32, 32, 16, 3, 8),
@@ -266,6 +274,9 @@ def packed_mbconv(xp, packed, shape: BlockShape, interpret=False):
     b, cin, n = xp.shape
     W = shape.hw
     assert n == W * W, (n, W)
+    # the wrap masks compute n % W as `iota & (W-1)` (lane-friendly);
+    # only valid for power-of-two sides (all D0-D7 early-stage sides are)
+    assert W & (W - 1) == 0, f"side {W} must be a power of two"
     p = (shape.ksize - 1) // 2
     PAD = p * W + p
 
@@ -473,6 +484,7 @@ def xla_packed_mbconv(xp, packed, shape: BlockShape):
     (wexp, bexp, wdw, bdw, wser, bser, wsee, bsee, wproj, bproj) = packed
     b, cin, n = xp.shape
     W = shape.hw
+    assert W & (W - 1) == 0, f"side {W} must be a power of two"  # iota&(W-1)
     p = (shape.ksize - 1) // 2
     PAD = p * W + p
     f32 = jnp.float32

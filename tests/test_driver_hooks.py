@@ -218,6 +218,50 @@ class TestMultiprocessFailOpen:
         out = capsys.readouterr().out
         assert '"phase": "multiprocess", "ok": false' in out
 
+    def test_quick_failure_retries_on_fresh_port(self, monkeypatch, capsys):
+        """VERDICT r4 next #7: a coordinator-port collision fails the
+        workers within seconds; one retry on a fresh port must absorb it."""
+        ports = []
+
+        def fake_popen(argv, env=None, **kw):
+            ports.append(int(argv[argv.index("--port") + 1]))
+            # first attempt: quick failure (FakeProc.wait returns instantly);
+            # second attempt: success
+            return FakeProc(returncode=1 if len(ports) == 1 else 0)
+
+        monkeypatch.setattr(graft.subprocess, "Popen", fake_popen)
+        msgs = []
+        graft._multiprocess_phase(8, self._gate(), msgs.append)
+        assert len(ports) == 2, "quick failure must be retried exactly once"
+        assert ports[0] != ports[1], "retry must pick a fresh port"
+        assert any("ok" in m for m in msgs)  # second attempt succeeded
+        # no fail-open JSON line: the retry absorbed the collision
+        assert '"ok": false' not in capsys.readouterr().out
+
+    def test_slow_failure_is_not_retried(self, monkeypatch, capsys):
+        """Barrier-timeout-style failures burn minutes; retrying them would
+        double-spend the budget. Only quick failures get the retry."""
+        spawns = []
+
+        def fake_popen(argv, env=None, **kw):
+            spawns.append(argv)
+            return FakeProc(returncode=1)
+
+        monkeypatch.setattr(graft.subprocess, "Popen", fake_popen)
+        monkeypatch.setattr(graft, "_MP_QUICK_FAIL_S", -1.0)  # nothing is quick
+        graft._multiprocess_phase(8, self._gate(), lambda m: None)
+        assert len(spawns) == 1
+        assert '"ok": false, "rc": 1' in capsys.readouterr().out
+
+    def test_persistent_quick_failure_fails_open(self, monkeypatch, capsys):
+        monkeypatch.setattr(
+            graft.subprocess, "Popen",
+            lambda argv, env=None, **kw: FakeProc(returncode=9),
+        )
+        graft._multiprocess_phase(8, self._gate(), lambda m: None)  # no raise
+        out = capsys.readouterr().out
+        assert '"ok": false, "rc": 9' in out  # still fail-open, post-retry
+
     def test_phase_timeout_tracks_remaining_budget(self, monkeypatch):
         envs = []
 

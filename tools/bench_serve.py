@@ -85,16 +85,17 @@ def build_predictor(args):
 
 
 def run_level(call, concurrency: int, duration_s: float):
-    """Closed-loop load: returns (latencies_ms, n_ok, n_overloaded)."""
+    """Closed-loop load: returns (latencies_ms, n_overloaded, n_timeout, s)."""
     from efficientdet_tpu.serve import PredictorOverloaded
 
     lat: list[float] = []
     overloaded = 0
+    timeouts = 0
     lock = threading.Lock()
     stop = time.perf_counter() + duration_s
 
     def client():
-        nonlocal overloaded
+        nonlocal overloaded, timeouts
         while time.perf_counter() < stop:
             t0 = time.perf_counter()
             try:
@@ -103,6 +104,13 @@ def run_level(call, concurrency: int, duration_s: float):
                 with lock:
                     overloaded += 1
                 time.sleep(0.005)
+                continue
+            except TimeoutError:
+                # predict_sync Future timeout / socket timeout in --http
+                # mode: count it (like overloaded) instead of silently
+                # killing the client thread and skewing img_s.
+                with lock:
+                    timeouts += 1
                 continue
             dt = (time.perf_counter() - t0) * 1e3
             with lock:
@@ -115,7 +123,7 @@ def run_level(call, concurrency: int, duration_s: float):
     for t in threads:
         t.join()
     elapsed = time.perf_counter() - t_start
-    return lat, overloaded, elapsed
+    return lat, overloaded, timeouts, elapsed
 
 
 def main(argv=None):
@@ -140,6 +148,7 @@ def main(argv=None):
     rng = np.random.RandomState(0)
     img = rng.randint(0, 255, (size, size, 3)).astype(np.uint8)
 
+    server = None
     if args.http:
         import urllib.request
         from http.server import ThreadingHTTPServer
@@ -176,7 +185,15 @@ def main(argv=None):
     }), flush=True)
 
     for c in [int(x) for x in args.concurrency.split(",")]:
-        lat, overloaded, elapsed = run_level(call, c, args.duration)
+        lat, overloaded, timeouts, elapsed = run_level(call, c, args.duration)
+        if not lat:
+            # every request shed/timed out: report that rather than crash
+            # in np.percentile on an empty array.
+            print(json.dumps({
+                "bench": "serve", "concurrency": c, "img_s": 0.0,
+                "n": 0, "overloaded": overloaded, "timeouts": timeouts,
+            }), flush=True)
+            continue
         lat_a = np.asarray(lat)
         print(json.dumps({
             "bench": "serve",
@@ -187,7 +204,12 @@ def main(argv=None):
             "p99_ms": round(float(np.percentile(lat_a, 99)), 2),
             "n": len(lat),
             "overloaded": overloaded,
+            "timeouts": timeouts,
         }), flush=True)
+
+    if server is not None:
+        server.shutdown()
+    predictor.close()
 
 
 if __name__ == "__main__":
