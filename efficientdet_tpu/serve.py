@@ -393,6 +393,13 @@ def make_http_handler(predictor, max_request_mb: float = 32.0):
             except PredictorOverloaded:
                 self.send_error(503, "overloaded: too many pending requests")
                 return
+            except TimeoutError:
+                # future deadline expired (e.g. a cold XLA compile ahead of
+                # this request): an uncaught raise here kills the handler
+                # thread and the client sees a closed connection with NO
+                # status line — answer 504 so it can back off and retry
+                self.send_error(504, "predict deadline exceeded")
+                return
             out = json.dumps(
                 {
                     "detections": [

@@ -85,7 +85,7 @@ def test_all_shed_level_reports_zeros(capsys, monkeypatch):
 
         def predict_sync(self, img, timeout=None):
             self.calls += 1
-            if self.calls > 1:  # let the warm-up call through
+            if self.calls > 2:  # let both warm-up calls through
                 raise PredictorOverloaded("always full")
 
         def close(self):

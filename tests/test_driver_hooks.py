@@ -73,6 +73,38 @@ class TestDryrunBootstrap:
         assert env["JAX_PLATFORMS"] == "cpu"
         assert "xla_force_host_platform_device_count=8" in env["XLA_FLAGS"]
         assert env["JAX_COMPILATION_CACHE_DIR"]  # persistent compile cache
+        # VERDICT r4 next #3: XLA C++ ERROR walls (cpu_aot_loader machine-
+        # feature complaints) must not crowd the driver's bounded tail.
+        assert env["TF_CPP_MIN_LOG_LEVEL"] == "3"
+
+    def test_cache_dir_is_host_fingerprinted(self):
+        """Cache entries are CPU-feature-specific (SIGILL risk cross-host):
+        the directory must be keyed by the host fingerprint so a different
+        machine starts cold instead of loading foreign AOT executables."""
+        fp = graft._host_fingerprint()
+        assert fp and len(fp) == 12 and fp == graft._host_fingerprint()
+        assert graft._COMPILE_CACHE == os.path.join(
+            graft._COMPILE_CACHE_ROOT, fp
+        )
+
+    def test_log_level_forced_over_jax_inherited_value(self, monkeypatch):
+        """jax sets TF_CPP_MIN_LOG_LEVEL=1 in os.environ at import time, so
+        an inherited value must be OVERRIDDEN (setdefault let the r4 walls
+        through); the dedicated GRAFT_DRYRUN_TF_LOG var is the operator
+        escape hatch."""
+        calls = []
+        monkeypatch.delenv(graft._CHILD_MARKER, raising=False)
+        monkeypatch.setenv("TF_CPP_MIN_LOG_LEVEL", "1")  # what jax leaves
+        monkeypatch.setattr(
+            graft.subprocess, "Popen",
+            lambda argv, env=None, **kw: calls.append(env)
+            or FakeProc(returncode=0),
+        )
+        graft.dryrun_multichip(8)
+        assert calls[0]["TF_CPP_MIN_LOG_LEVEL"] == "3"
+        monkeypatch.setenv("GRAFT_DRYRUN_TF_LOG", "0")
+        graft.dryrun_multichip(8)
+        assert calls[1]["TF_CPP_MIN_LOG_LEVEL"] == "0"
 
     def test_parent_path_has_no_jax_reference(self):
         """Structural guard: the parent branch must never touch jax.

@@ -434,6 +434,31 @@ class TestHttpSurface:
             server.shutdown()
             pred.close()
 
+    def test_predict_deadline_is_504_not_dead_connection(self):
+        """A future TimeoutError out of predict_sync (e.g. a cold XLA
+        compile ahead of this request) must answer 504 — uncaught it kills
+        the handler thread and the client sees a connection closed with no
+        status line (observed driving bench_serve --http on-chip)."""
+        import io as _io
+
+        from PIL import Image
+
+        pred = stub_predictor()
+        pred.predict_sync = lambda img, timeout=30.0: (_ for _ in ()).throw(
+            TimeoutError("deadline")
+        )
+        server = self._serve(pred, max_request_mb=1.0)
+        try:
+            buf = _io.BytesIO()
+            Image.fromarray(
+                np.zeros((64, 64, 3), np.uint8)
+            ).save(buf, format="PNG")
+            status, _ = self._post(server, buf.getvalue())
+            assert status == 504
+        finally:
+            server.shutdown()
+            pred.close()
+
     def test_valid_png_roundtrips_detections(self):
         import io as _io
         import json as _json

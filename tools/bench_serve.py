@@ -65,7 +65,9 @@ def build_predictor(args):
         model, cfg = ed.build_efficientdet(
             int(args.phi), num_classes=args.num_classes, dtype=jnp.bfloat16
         )
-    variables = model.init(
+    # jitted init: eager init dispatches hundreds of ops one-by-one, which
+    # on the axon relay backend costs minutes of round-trips
+    variables = jax.jit(model.init)(
         jax.random.PRNGKey(0),
         jnp.zeros((1, cfg.image_size, cfg.image_size, 3)),
     )
@@ -167,15 +169,19 @@ def main(argv=None):
         threading.Thread(target=server.serve_forever, daemon=True).start()
         url = f"http://127.0.0.1:{server.server_port}/predict"
 
-        def call():
+        def call(timeout=60):
             req = urllib.request.Request(url, data=body, method="POST")
-            with urllib.request.urlopen(req, timeout=60) as r:
+            with urllib.request.urlopen(req, timeout=timeout) as r:
                 json.loads(r.read())
     else:
-        def call():
-            predictor.predict_sync(img)
+        def call(timeout=30):
+            predictor.predict_sync(img, timeout=timeout)
 
-    call()  # warm-up / compile
+    # Warm-up pays the XLA compile IN-PROC even in --http mode: holding an
+    # HTTP connection open across a multi-minute cold compile trips the
+    # handler's per-request deadline (504) and measures nothing useful.
+    predictor.predict_sync(img, timeout=900)
+    call()  # second warm-up through the measured path (HTTP or in-proc)
     print(json.dumps({
         "bench": "serve", "event": "ready",
         "mode": "http" if args.http else "inproc",
