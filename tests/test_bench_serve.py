@@ -50,10 +50,11 @@ def test_run_level_counts_overload_and_survives_all_shed():
     def always_shed():
         raise PredictorOverloaded("full")
 
-    lat, overloaded, timeouts, _ = bench_serve.run_level(
+    lat, overloaded, timeouts, conn_errors, _ = bench_serve.run_level(
         always_shed, concurrency=2, duration_s=0.1
     )
     assert lat == [] and overloaded > 0 and timeouts == 0
+    assert conn_errors == 0
 
 
 def test_run_level_counts_timeouts_instead_of_killing_clients():
@@ -64,12 +65,31 @@ def test_run_level_counts_timeouts_instead_of_killing_clients():
         if len(calls) % 2 == 0:
             raise TimeoutError("deadline")
 
-    lat, overloaded, timeouts, _ = bench_serve.run_level(
+    lat, overloaded, timeouts, conn_errors, _ = bench_serve.run_level(
         flaky, concurrency=1, duration_s=0.05
     )
     # the client thread survived its first timeout and kept issuing
     # requests: successes and timeouts both accumulate
     assert timeouts >= 1 and len(lat) >= 1 and overloaded == 0
+    assert conn_errors == 0
+
+
+def test_run_level_counts_connection_errors_instead_of_killing_clients():
+    """--http transport errors (ECONNRESET out of a burst-overrun listen
+    backlog) must be counted, not kill the client thread: 31 dead threads
+    once skewed an on-chip c=64 level with no indication (DESIGN 6j)."""
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) % 2 == 0:
+            raise ConnectionResetError(104, "Connection reset by peer")
+
+    lat, overloaded, timeouts, conn_errors, _ = bench_serve.run_level(
+        flaky, concurrency=1, duration_s=0.05
+    )
+    assert conn_errors >= 1 and len(lat) >= 1
+    assert overloaded == 0 and timeouts == 0
 
 
 def test_all_shed_level_reports_zeros(capsys, monkeypatch):
@@ -81,11 +101,15 @@ def test_all_shed_level_reports_zeros(capsys, monkeypatch):
     class ShedAfterWarmup:
         batch_size = 4
         size = 16
+        _buckets = [1, 2, 4]
         calls = 0
+
+        def warmup(self):
+            pass
 
         def predict_sync(self, img, timeout=None):
             self.calls += 1
-            if self.calls > 2:  # let both warm-up calls through
+            if self.calls > 1:  # let the measured-path warm-up through
                 raise PredictorOverloaded("always full")
 
         def close(self):
@@ -99,5 +123,6 @@ def test_all_shed_level_reports_zeros(capsys, monkeypatch):
     assert levels == [{
         "bench": "serve", "concurrency": 2, "img_s": 0.0, "n": 0,
         "overloaded": levels[0]["overloaded"], "timeouts": 0,
+        "conn_errors": 0,
     }]
     assert levels[0]["overloaded"] > 0

@@ -83,21 +83,26 @@ def build_predictor(args):
         max_delay_ms=args.max_delay_ms,
         eval_config=EvalConfig(score_threshold=args.score_threshold),
         pipeline_depth=args.pipeline_depth,
+        bucket_batches=not args.no_bucket_batches,
     )
 
 
 def run_level(call, concurrency: int, duration_s: float):
-    """Closed-loop load: returns (latencies_ms, n_overloaded, n_timeout, s)."""
+    """Closed-loop load: returns (latencies_ms, overloaded, timeouts,
+    conn_errors, elapsed_s)."""
+    import urllib.error
+
     from efficientdet_tpu.serve import PredictorOverloaded
 
     lat: list[float] = []
     overloaded = 0
     timeouts = 0
+    conn_errors = 0
     lock = threading.Lock()
     stop = time.perf_counter() + duration_s
 
     def client():
-        nonlocal overloaded, timeouts
+        nonlocal overloaded, timeouts, conn_errors
         while time.perf_counter() < stop:
             t0 = time.perf_counter()
             try:
@@ -114,6 +119,15 @@ def run_level(call, concurrency: int, duration_s: float):
                 with lock:
                     timeouts += 1
                 continue
+            except (urllib.error.URLError, ConnectionError, OSError):
+                # --http transport errors (e.g. ECONNRESET when a burst
+                # overran a listen backlog): count and keep the client
+                # alive — 31 dead threads once halved a c=64 level's img/s
+                # with zero indication in the output.
+                with lock:
+                    conn_errors += 1
+                time.sleep(0.005)
+                continue
             dt = (time.perf_counter() - t0) * 1e3
             with lock:
                 lat.append(dt)
@@ -125,7 +139,7 @@ def run_level(call, concurrency: int, duration_s: float):
     for t in threads:
         t.join()
     elapsed = time.perf_counter() - t_start
-    return lat, overloaded, timeouts, elapsed
+    return lat, overloaded, timeouts, conn_errors, elapsed
 
 
 def main(argv=None):
@@ -143,6 +157,9 @@ def main(argv=None):
     p.add_argument("--concurrency", default="1,8,32,64")
     p.add_argument("--http", action="store_true",
                    help="drive the real HTTP handler over loopback")
+    p.add_argument("--no-bucket-batches", action="store_true",
+                   help="always pad partial micro-batches to --batch-size "
+                   "(disables the power-of-two bucket programs)")
     args = p.parse_args(argv)
 
     predictor = build_predictor(args)
@@ -153,19 +170,16 @@ def main(argv=None):
     server = None
     if args.http:
         import urllib.request
-        from http.server import ThreadingHTTPServer
         from io import BytesIO
 
         from PIL import Image
 
-        from efficientdet_tpu.serve import make_http_handler
+        from efficientdet_tpu.serve import make_http_server
 
         buf = BytesIO()
         Image.fromarray(img).save(buf, format="PNG")
         body = buf.getvalue()
-        server = ThreadingHTTPServer(
-            ("127.0.0.1", 0), make_http_handler(predictor)
-        )
+        server = make_http_server(predictor, host="127.0.0.1")
         threading.Thread(target=server.serve_forever, daemon=True).start()
         url = f"http://127.0.0.1:{server.server_port}/predict"
 
@@ -177,27 +191,33 @@ def main(argv=None):
         def call(timeout=30):
             predictor.predict_sync(img, timeout=timeout)
 
-    # Warm-up pays the XLA compile IN-PROC even in --http mode: holding an
+    # Warm-up pays the XLA compiles IN-PROC even in --http mode: holding an
     # HTTP connection open across a multi-minute cold compile trips the
     # handler's per-request deadline (504) and measures nothing useful.
-    predictor.predict_sync(img, timeout=900)
-    call()  # second warm-up through the measured path (HTTP or in-proc)
+    # warmup() compiles EVERY batch bucket, so no concurrency level hits a
+    # cold program mid-measurement.
+    predictor.warmup()
+    call()  # one warm-up through the measured path (HTTP or in-proc)
     print(json.dumps({
         "bench": "serve", "event": "ready",
         "mode": "http" if args.http else "inproc",
         "phi": args.phi, "batch_size": predictor.batch_size,
+        "buckets": predictor._buckets,
         "max_delay_ms": args.max_delay_ms,
         "pipeline_depth": args.pipeline_depth, "image_size": size,
     }), flush=True)
 
     for c in [int(x) for x in args.concurrency.split(",")]:
-        lat, overloaded, timeouts, elapsed = run_level(call, c, args.duration)
+        lat, overloaded, timeouts, conn_errors, elapsed = run_level(
+            call, c, args.duration
+        )
         if not lat:
             # every request shed/timed out: report that rather than crash
             # in np.percentile on an empty array.
             print(json.dumps({
                 "bench": "serve", "concurrency": c, "img_s": 0.0,
                 "n": 0, "overloaded": overloaded, "timeouts": timeouts,
+                "conn_errors": conn_errors,
             }), flush=True)
             continue
         lat_a = np.asarray(lat)
@@ -211,6 +231,7 @@ def main(argv=None):
             "n": len(lat),
             "overloaded": overloaded,
             "timeouts": timeouts,
+            "conn_errors": conn_errors,
         }), flush=True)
 
     if server is not None:
