@@ -132,6 +132,13 @@ def batch_iterator(
     per-host batches then assemble into the global array via
     ``jax.make_array_from_process_local_data`` (tools/multiprocess_dryrun).
     """
+    if batch_size > len(dataset) // shard_count and drop_last and repeat:
+        raise ValueError(
+            f"batch_size {batch_size} > per-shard dataset size "
+            f"{len(dataset) // shard_count} with drop_last=True: the "
+            "repeat loop would spin forever yielding nothing (use "
+            "drop_last=False to wrap-pad small datasets)"
+        )
     if not (0 <= shard_index < shard_count):
         raise ValueError(
             f"shard_index {shard_index} not in [0, {shard_count})"

@@ -66,6 +66,20 @@ def parse_args(argv=None):
                        "DEVICE inside the jitted step (ops/augment.py); "
                        "the host only decodes + letterboxes. Implies the "
                        "--random-transform family of transforms.")
+        q.add_argument("--device-cache", type=int, default=0, metavar="N",
+                       help="keep the first N letterboxed images RESIDENT "
+                       "in device memory (data/device_cache.py) and feed "
+                       "steps by on-device gather — per-step host->device "
+                       "traffic is just the batch indices. For datasets / "
+                       "fine-tune windows that fit HBM; pair with "
+                       "--device-augment for per-epoch randomness "
+                       "(docs/DESIGN.md 6k). 0 = off.")
+        q.add_argument("--data-echo", type=int, default=1, metavar="E",
+                       help="data echoing (arXiv:1907.05550): consume each "
+                       "host batch E times; with --device-augment every "
+                       "echo is a different augmented view. Cuts per-step "
+                       "host->device bytes by E when the input pipeline "
+                       "or link, not the chip, is the bottleneck.")
         q.add_argument("--compute-val-loss", action="store_true")
         q.add_argument("--max-gt", type=int, default=100)
         q.add_argument("--grad-accum-steps", type=int, default=1,
@@ -211,6 +225,13 @@ def main(argv=None):
         )
 
     mesh = make_mesh()
+    data_ways = mesh.shape.get("data", 1)
+    if args.batch_size % data_ways:
+        raise SystemExit(
+            f"--batch-size {args.batch_size} is not divisible by the "
+            f"{data_ways}-way data-parallel axis ({jax.device_count()} "
+            "devices): every device must get an equal batch slice"
+        )
     rng = jax.random.PRNGKey(args.seed)
     state = create_train_state(model, tc, rng)
     ckpt = CheckpointManager(args.snapshot_path)
@@ -239,18 +260,51 @@ def main(argv=None):
     )
     from efficientdet_tpu.data.common import prefetch
 
-    it = prefetch(
-        batch_iterator(
-            train_ds, args.batch_size, target_size=size, max_gt=args.max_gt,
-            shuffle=True, repeat=True, augment=augment, seed=args.seed,
-            workers=args.workers,
-            # multi-host: each process iterates a disjoint slice of the
-            # same seed-agreed permutation (no cross-host coordination)
-            shard_index=jax.process_index(),
-            shard_count=jax.process_count(),
-        ),
-        size=2,
-    )
+    device_fed = args.device_cache > 0
+    if device_fed:
+        if args.random_transform and not args.device_augment:
+            raise SystemExit(
+                "--device-cache stores the letterboxed pixels once, so "
+                "host-side --random-transform can't apply; use "
+                "--device-augment (the fused on-device augmenter)"
+            )
+        if jax.process_count() > 1:
+            raise SystemExit(
+                "--device-cache is single-process for now (the pool is "
+                "built from this process's view of the dataset); use the "
+                "host pipeline with --data-echo on multi-host runs"
+            )
+        from efficientdet_tpu.data.device_cache import DeviceDataCache
+
+        cache = DeviceDataCache(
+            train_ds, target_size=size, max_gt=args.max_gt, mesh=mesh,
+            limit=args.device_cache,
+        )
+        print(json.dumps({
+            "device_cache_images": len(cache),
+            "device_cache_mb": round(cache.nbytes() / 1e6, 1),
+        }), flush=True)
+        # drop_last=False: the cache's home turf is small fine-tune
+        # datasets, where batch > dataset must wrap-pad, not error
+        it = cache.batches(args.batch_size, seed=args.seed,
+                           drop_last=False)
+    else:
+        it = prefetch(
+            batch_iterator(
+                train_ds, args.batch_size, target_size=size,
+                max_gt=args.max_gt,
+                shuffle=True, repeat=True, augment=augment, seed=args.seed,
+                workers=args.workers,
+                # multi-host: each process iterates a disjoint slice of the
+                # same seed-agreed permutation (no cross-host coordination)
+                shard_index=jax.process_index(),
+                shard_count=jax.process_count(),
+            ),
+            size=2,
+        )
+    if args.data_echo > 1:
+        # per-echo randomness comes from the step's fold_in(rng, state.step)
+        it = (b for b in it for _ in range(args.data_echo))
 
     log_path = args.log_file or os.path.join(args.snapshot_path, "train_log.jsonl")
     os.makedirs(os.path.dirname(log_path) or ".", exist_ok=True)
@@ -297,7 +351,10 @@ def main(argv=None):
             if args.device_augment:
                 # visible-image extent per canvas: device-side box clipping
                 step_batch["extents"] = batch["extents"]
-            device_batch = shard_batch(step_batch, mesh)
+            if device_fed:
+                device_batch = step_batch  # gathered on-device, sharded
+            else:
+                device_batch = shard_batch(step_batch, mesh)
             state, metrics = step_fn(state, device_batch, step_rng)
             if s % 50 == 0 or s == steps_per_epoch - 1:
                 m = {k: float(v) for k, v in metrics.items()}

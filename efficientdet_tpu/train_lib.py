@@ -95,22 +95,31 @@ def create_train_state(
     image_size: Optional[int] = None,
 ) -> TrainState:
     size = image_size or model.config.image_size
-    variables = model.init(rng, jnp.zeros((1, size, size, 3), jnp.float32))
-    params = variables["params"]
     if config.freeze_backbone:
         # Zero out backbone updates via masked optimiser (see make_train_step).
         pass
     tx = make_optimizer(config)
-    opt_state = tx.init(params)
-    ema = params if config.ema_decay > 0 else None
-    return TrainState(
-        step=jnp.zeros((), jnp.int32),
-        params=params,
-        batch_stats=variables.get("batch_stats", {}),
-        opt_state=opt_state,
-        ema_params=ema,
-        lr_scale=jnp.ones((), jnp.float32),
-    )
+
+    def _init(rng):
+        variables = model.init(
+            rng, jnp.zeros((1, size, size, 3), jnp.float32)
+        )
+        params = variables["params"]
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(params),
+            ema_params=params if config.ema_decay > 0 else None,
+            lr_scale=jnp.ones((), jnp.float32),
+        )
+
+    # ONE compiled program for the whole init (params + optimizer zeros):
+    # eager init dispatches hundreds of ops one-by-one, which on a relayed
+    # device costs minutes of per-op round-trips (measured: the D0 eager
+    # init dominated a whole bench run's wall time; jitted it is seconds
+    # warm / one ordinary compile cold)
+    return jax.jit(_init)(rng)
 
 
 def make_eval_loss_fn(
